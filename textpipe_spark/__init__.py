@@ -1,0 +1,12 @@
+"""textpipe_spark — a PySpark-native corpus quality-filter engine.
+
+Brand-new implementation (not a port) of the query/data-processing
+capabilities of the reference textpipe library (/root/reference), re-expressed
+Spark-first: declarative DataFrame plans for everything rule-based, Arrow
+pandas UDFs for model kernels, broadcast artifacts for lexicons/models.
+"""
+
+__version__ = "0.1.0"
+
+from .kernel.rules import RuleConfig  # noqa: F401
+from .pipeline import PipelineConfig, build, register_operation  # noqa: F401

@@ -1,0 +1,183 @@
+"""Native Spark Column builders for the text kernels.
+
+Every builder mirrors a kernel spec in ``textpipe_spark.kernel`` using the
+SAME regex constants, so the JVM path (whole-stage codegen, no Python) is
+byte-identical to the reference-label generator. UDF-free by design: these
+are the hot path at 100 TB (SURVEY.md §4 — Catalyst/Tungsten give pushdown,
+pruning and codegen for free when the plan is declarative).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..kernel import clean as kclean
+from ..kernel import langid as klangid
+from ..kernel import rules as krules
+from ..kernel import scrub as kscrub
+from ..kernel import tokenize as ktok
+
+
+def clean_col(raw: Column) -> Column:
+    """The full clean chain (kernel ``clean.clean_text``) as nested
+    ``regexp_replace`` — one codegen'd expression, no shuffle, no Python."""
+    col = raw
+    for pat, rep in kclean.CLEAN_STEPS:
+        col = F.regexp_replace(col, pat, rep)
+    return F.trim(col)
+
+
+def words_col(clean: Column) -> Column:
+    return F.regexp_extract_all(clean, F.lit(ktok.RE_WORD), 0)
+
+
+def nwords_col(clean: Column) -> Column:
+    return F.regexp_count(clean, F.lit(ktok.RE_WORD))
+
+
+def ntokens_bpe_col(clean: Column) -> Column:
+    return F.regexp_count(clean, F.lit(ktok.RE_BPE))
+
+
+def sentences_col(clean: Column) -> Column:
+    """Non-empty trimmed segments between sentence boundaries."""
+    segs = F.split(clean, ktok.RE_SENT_SPLIT)
+    trimmed = F.transform(segs, lambda s: F.trim(s))
+    return F.filter(trimmed, lambda s: s != F.lit(""))
+
+
+def nsents_col(clean: Column) -> Column:
+    return F.size(sentences_col(clean))
+
+
+def nsyllables_col(clean: Column) -> Column:
+    return F.regexp_count(clean, F.lit(ktok.RE_SYLLABLE))
+
+
+def flesch_col(nw: Column, ns: Column, nsyl: Column) -> Column:
+    """Flesch reading ease; 100.0 fallback (kernel ``tokenize.flesch``)."""
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (nw.cast("double") / ns.cast("double"))
+        - F.lit(84.6) * (nsyl.cast("double") / nw.cast("double"))
+    )
+    return F.when((nsyl == 0) | (nw == 0) | (ns == 0), F.lit(100.0)).otherwise(score)
+
+
+def nonprintable_ratio_col(raw: Column) -> Column:
+    n = F.length(raw)
+    cnt = F.regexp_count(raw, F.lit(krules.RE_NONPRINTABLE))
+    return F.when(n == 0, F.lit(0.0)).otherwise(cnt.cast("double") / n.cast("double"))
+
+
+def repeated_line_fraction_col(raw: Column) -> Column:
+    lines = F.split(raw, "\n")
+    trimmed = F.transform(lines, lambda s: F.regexp_replace(s, "^[ \t]+|[ \t]+$", ""))
+    nonempty = F.filter(trimmed, lambda s: s != F.lit(""))
+    total = F.size(nonempty)
+    distinct = F.size(F.array_distinct(nonempty))
+    return F.when(total == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - distinct.cast("double") / total.cast("double")
+    )
+
+
+def mean_word_length_col(clean: Column) -> Column:
+    toks = words_col(clean)
+    n = F.size(toks)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.length(F.array_join(toks, "")).cast("double") / n.cast("double")
+    )
+
+
+# ------------------------------------------------------------- langid (SQL tier)
+
+def stopword_count_col(clean: Column, lang: str) -> Column:
+    return F.regexp_count(clean, F.lit(klangid.stopword_pattern(lang)))
+
+
+def langid_struct_col(clean: Column, hint: Column | None = None) -> Column:
+    """Stopword-argmax language detector (kernel ``langid.detect_stopwords``):
+    struct<lang string, reliable boolean>. Ties break by LANG_ORDER."""
+    counts = {lg: stopword_count_col(clean, lg) for lg in klangid.LANG_ORDER}
+    if hint is not None:
+        counts = {
+            lg: counts[lg] + F.when(hint == lg, 1).otherwise(0)
+            for lg in klangid.LANG_ORDER
+        }
+    # argmax with first-in-LANG_ORDER tie-break
+    best = None
+    for lg in reversed(klangid.LANG_ORDER):
+        cond = None
+        for other in klangid.LANG_ORDER:
+            if other == lg:
+                continue
+            c = counts[lg] >= counts[other]
+            cond = c if cond is None else (cond & c)
+        best = F.when(cond, F.lit(lg)) if best is None else F.when(cond, F.lit(lg)).otherwise(best)
+    top = F.greatest(*counts.values())
+    second = F.array_sort(F.array(*counts.values())).getItem(len(counts) - 2)
+    lang = F.when(top == 0, F.lit(klangid.UNKNOWN)).otherwise(best)
+    reliable = (top > 0) & ((top - second) >= klangid.RELIABLE_MARGIN)
+    return F.struct(lang.alias("lang"), reliable.alias("reliable"))
+
+
+# ------------------------------------------------------------- scrub chain
+
+def scrub_struct_col(text: Column) -> Column:
+    """Ordered scrub chain (kernel ``scrub.scrub``): struct<text string,
+    <name>_hits int ..., total_hits int>. Counts are taken against the text
+    state BEFORE each step, exactly like the kernel's sequential ``subn``."""
+    cur = text
+    fields = []
+    hit_cols = []
+    for name, pat, rep in kscrub.SCRUB_STEPS:
+        cnt = F.regexp_count(cur, F.lit(pat))
+        hit_cols.append(cnt.alias(f"{name}_hits"))
+        cur = F.regexp_replace(cur, pat, rep)
+    total = None
+    for c in hit_cols:
+        total = c if total is None else total + c
+    fields = [cur.alias("text"), *hit_cols, total.alias("total_hits")]
+    return F.struct(*fields)
+
+
+# ------------------------------------------------------------- keep/drop cascade
+
+def decision_struct_col(
+    raw: Column,
+    clean: Column,
+    lang: Column,
+    scrub_hits: Column,
+    cfg: krules.RuleConfig,
+) -> Column:
+    """The rule cascade (kernel ``rules.decide``): struct<keep boolean,
+    drop_reason string>. First failing rule names the reason ('' on keep)."""
+    n = F.length(raw)
+    checks: list[tuple[str, Column]] = [
+        ("too_short", n < cfg.min_chars),
+        ("too_long", n > cfg.max_chars),
+        ("too_few_words", nwords_col(clean) < cfg.min_words),
+        ("nonprintable", nonprintable_ratio_col(raw) > cfg.max_nonprintable_ratio),
+        ("repeated_lines", repeated_line_fraction_col(raw) > cfg.max_repeated_line_fraction),
+        ("long_words", mean_word_length_col(clean) > cfg.max_mean_word_length),
+    ]
+    if cfg.allowed_langs:
+        checks.append(("lang_not_allowed", ~lang.isin(*cfg.allowed_langs)))
+    checks.append(("too_many_scrub_hits", scrub_hits > cfg.max_scrub_hits))
+
+    reason = F.lit("")
+    for name, cond in reversed(checks):
+        reason = F.when(cond, F.lit(name)).otherwise(reason)
+    return F.struct((reason == "").alias("keep"), reason.alias("drop_reason"))
+
+
+def lead_sentences_col(clean: Column, nsents: int = 3) -> Column:
+    """Lead-N sentences (reference ``extract_lead``, doc.py:757-776)."""
+    return F.slice(sentences_col(clean), 1, nsents)
+
+
+def emoji_count_col(text: Column) -> Column:
+    from ..kernel import emoji as kemoji
+
+    return F.regexp_count(text, F.lit(kemoji.EMOJI_PATTERN))

@@ -1,0 +1,59 @@
+"""Vector Column builders over ``array<float>`` embedding columns.
+
+JVM-side (``F.aggregate`` / ``F.zip_with`` higher-order functions — no
+Python) implementations of the reference's vector math: L2 norm and
+aggregation of ``DocumentVector`` (textpipe ``doc.py:540-602``), cosine for
+similarity search. Sequential left-to-right folds keep float results
+deterministic per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm_col(a: Column) -> Column:
+    sq = F.aggregate(
+        a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    return F.sqrt(sq)
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    denom = norm_col(a) * norm_col(b)
+    return F.when(denom == 0, F.lit(0.0)).otherwise(dot_col(a, b) / denom)
+
+
+def elementwise_agg(df, vec_col: str, group_cols: list[str], how: str = "mean"):
+    """Element-wise mean/sum of vectors per group — the corpus-scale
+    ``DocumentVector`` aggregation (doc.py:540-602) without UDFs:
+    posexplode → groupBy(key, pos) → agg → collect back in order.
+
+    Shuffles once on (group, pos); at scale pos has fixed small cardinality
+    (the dim), so partitioning stays balanced.
+    """
+    if how not in ("mean", "sum"):
+        raise NotImplementedError(f"aggregation {how!r}")  # doc.py:602 parity
+    agg_f = F.avg if how == "mean" else F.sum
+    exploded = df.select(*group_cols, F.posexplode(vec_col).alias("pos", "val"))
+    per_dim = exploded.groupBy(*group_cols, "pos").agg(
+        agg_f(F.col("val").cast("double")).alias("val")
+    )
+    return (
+        per_dim.groupBy(*group_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "val"))
+            ).alias("_pairs")
+        )
+        .select(
+            *group_cols,
+            F.transform(F.col("_pairs"), lambda s: s["val"]).alias(f"{how}_vec"),
+        )
+    )

@@ -1,0 +1,9 @@
+"""Pure-Python kernels — the reference-label generators (no Spark imports).
+
+Run row-by-row these define ground truth; the Spark path must match them
+exactly (sha256 equality on scrubbed text, identical keep/drop — per
+BASELINE.json). Each module doubles as the single source of regex/threshold
+constants consumed by the Spark column builders AND the DuckDB oracle SQL.
+"""
+
+from . import clean, emoji, langid, lm, minhash, rules, scrub, sentiment, tokenize  # noqa: F401

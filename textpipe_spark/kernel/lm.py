@@ -1,0 +1,76 @@
+"""N-gram language-model perplexity kernel (KenLM-style, per north_star).
+
+Two tiers, like ``langid``:
+
+1. Corpus-unigram perplexity — ``ppl = exp(-mean(log p(w)))`` where p(w)
+   comes from the corpus's own token frequencies. Pure relational algebra
+   (explode → join freq table → agg), so the SQL oracle runs the same spec.
+2. ``BigramLM`` — word-bigram model with add-k smoothing trained
+   deterministically from the langid seed corpus; broadcast to executors
+   and scored batched in an Arrow pandas UDF. This fills the reference's
+   per-doc "readability/complexity score" slot (textpipe ``doc.py:356-372``)
+   with the scalable LM the north_star asks for.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+from .langid import SEED_TEXT
+from .tokenize import RE_WORD
+
+_WORD = re.compile(RE_WORD)
+
+BOS = "<s>"
+_K = 0.1  # add-k smoothing
+
+
+def tokens_lower(text: str) -> list[str]:
+    return [t.lower() for t in _WORD.findall(text or "")]
+
+
+class BigramLM:
+    def __init__(self, unigrams: Counter, bigrams: Counter, vocab_size: int):
+        self.unigrams = unigrams
+        self.bigrams = bigrams
+        self.v = vocab_size
+
+    @classmethod
+    def train(cls, texts: list[str] | None = None) -> "BigramLM":
+        texts = texts if texts is not None else list(SEED_TEXT.values())
+        uni: Counter = Counter()
+        bi: Counter = Counter()
+        for text in texts:
+            toks = [BOS] + tokens_lower(text)
+            uni.update(toks)
+            bi.update(zip(toks, toks[1:]))
+        return cls(uni, bi, vocab_size=len(uni))
+
+    def logp(self, prev: str, word: str) -> float:
+        num = self.bigrams.get((prev, word), 0) + _K
+        den = self.unigrams.get(prev, 0) + _K * (self.v + 1)
+        return math.log(num / den)
+
+    def perplexity(self, text: str) -> float:
+        toks = tokens_lower(text)
+        if not toks:
+            return float("inf")
+        prev = BOS
+        total = 0.0
+        for w in toks:
+            total += self.logp(prev, w)
+            prev = w
+        return math.exp(-total / len(toks))
+
+
+_LM: BigramLM | None = None
+
+
+def get_lm() -> BigramLM:
+    """Per-worker load-once singleton (BASELINE.json:6)."""
+    global _LM
+    if _LM is None:
+        _LM = BigramLM.train()
+    return _LM

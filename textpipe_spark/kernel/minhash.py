@@ -1,0 +1,132 @@
+"""MinHash / SimHash / winnowing fingerprint kernels.
+
+Reimplements the semantics of the reference's datasketch MinHash
+(textpipe ``doc.py:456-478``: 128 permutations over utf-8 tokens, universal
+hashing ``(a*h + b) mod p`` truncated to 32 bits) and its Jaccard-estimate
+``Doc.similarity`` (``doc.py:480-497``), plus the SimHash and rolling-hash
+winnowing fingerprints a training-data pipeline needs. Pure numpy — the
+Spark path calls these exact functions inside Arrow pandas UDFs, so kernel
+and cluster results are identical by construction.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import struct
+
+import numpy as np
+
+from .tokenize import RE_WORD
+
+_WORD = re.compile(RE_WORD)
+
+NUM_PERM = 128
+_MERSENNE = (1 << 61) - 1
+_MAX32 = (1 << 32) - 1
+_SEED = 1  # datasketch's default permutation seed concept; fixed
+
+
+def _permutations(num_perm: int = NUM_PERM, seed: int = _SEED):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+_A, _B = _permutations()
+
+
+def _token_hashes(tokens: list[str]) -> np.ndarray:
+    """sha1-based 32-bit token hashes (datasketch default hashfunc family)."""
+    if not tokens:
+        return np.empty(0, dtype=np.uint64)
+    out = np.fromiter(
+        (
+            struct.unpack("<I", hashlib.sha1(t.encode("utf-8")).digest()[:4])[0]
+            for t in set(tokens)
+        ),
+        dtype=np.uint64,
+    )
+    return out
+
+
+def minhash_signature(tokens: list[str], num_perm: int = NUM_PERM) -> list[int]:
+    """128 uint32 digests; empty token set -> all MAX32 (empty signature)."""
+    hv = _token_hashes(tokens)
+    if hv.size == 0:
+        return [_MAX32] * num_perm
+    a, b = _A[:num_perm], _B[:num_perm]
+    # (a*h + b) mod prime, truncated to 32 bits, min over tokens
+    phv = ((hv[:, None] * a[None, :] + b[None, :]) % _MERSENNE) & _MAX32
+    return phv.min(axis=0).astype(np.uint32).tolist()
+
+
+def minhash_text(text: str, num_perm: int = NUM_PERM) -> list[int]:
+    return minhash_signature(_WORD.findall(text or ""), num_perm)
+
+
+def jaccard_estimate(sig1: list[int], sig2: list[int]) -> float:
+    """Signature-overlap Jaccard estimate (doc.py:480-497 semantics)."""
+    s1 = np.asarray(sig1)
+    s2 = np.asarray(sig2)
+    return float(np.mean(s1 == s2))
+
+
+def lsh_band_hashes(sig: list[int], bands: int = 16) -> list[int]:
+    """Split the signature into ``bands`` rows-per-band buckets; each band's
+    hash keys a groupBy in the LSH dedup join (SURVEY.md §2.3)."""
+    rows = len(sig) // bands
+    out = []
+    for i in range(bands):
+        chunk = bytes()
+        for v in sig[i * rows : (i + 1) * rows]:
+            chunk += struct.pack("<I", v & _MAX32)
+        h = hashlib.sha1(struct.pack("<I", i) + chunk).digest()[:8]
+        out.append(struct.unpack("<q", h)[0])
+    return out
+
+
+def simhash64(tokens: list[str]) -> int:
+    """64-bit SimHash over token unigrams (signed int64 for Spark LongType)."""
+    if not tokens:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for t, cnt in _count(tokens).items():
+        h = struct.unpack("<Q", hashlib.sha1(t.encode("utf-8")).digest()[:8])[0]
+        bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits == 1, cnt, -cnt)
+    bits = (acc >= 0).astype(np.uint64)
+    val = 0
+    for i in range(64):
+        val |= int(bits[i]) << i
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def _count(tokens: list[str]) -> dict[str, int]:
+    d: dict[str, int] = {}
+    for t in tokens:
+        d[t] = d.get(t, 0) + 1
+    return d
+
+
+def hamming64(x: int, y: int) -> int:
+    return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+
+def winnow_fingerprints(text: str, k: int = 8, window: int = 4) -> list[int]:
+    """Winnowing (Schleimer et al., SIGMOD'03): min rolling hash per window
+    over k-grams of the normalised text; document fingerprint set."""
+    s = " ".join(_WORD.findall((text or "").lower()))
+    if len(s) < k:
+        return []
+    hashes = [
+        struct.unpack("<q", hashlib.sha1(s[i : i + k].encode()).digest()[:8])[0]
+        for i in range(len(s) - k + 1)
+    ]
+    if len(hashes) <= window:
+        return [min(hashes)]
+    out = set()
+    for i in range(len(hashes) - window + 1):
+        out.add(min(hashes[i : i + window]))
+    return sorted(out)

@@ -1,0 +1,109 @@
+"""Heuristic document-quality rules and the keep/drop cascade.
+
+Generalises the reference's per-doc statistics (``nwords`` doc.py:311-321,
+whitespace-collapse semantics of TEXT_4 tests/test_doc.py:37-39,116-117, the
+M*/C* non-printable strip before langid doc.py:125-126) into corpus-scale
+quality-filter rules per BASELINE.json's north_star. The cascade order below
+IS the drop_reason semantics: the first failing rule names the reason.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from .tokenize import RE_WORD, nwords as _nwords
+
+# Non-printable characters: C0 controls (minus \t\n\r), DEL, C1 range.
+RE_NONPRINTABLE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]"
+_NONPRINT = re.compile(RE_NONPRINTABLE)
+_WORD = re.compile(RE_WORD)
+
+
+@dataclass(frozen=True)
+class RuleConfig:
+    """Thresholds for the keep/drop cascade (JSON-serialisable)."""
+
+    min_chars: int = 32
+    max_chars: int = 1_000_000
+    min_words: int = 5
+    max_nonprintable_ratio: float = 0.05
+    max_repeated_line_fraction: float = 0.60
+    max_mean_word_length: float = 40.0
+    allowed_langs: tuple[str, ...] = ()  # empty = allow all
+    max_scrub_hits: int = 10
+
+    def to_dict(self) -> dict:
+        d = self.__dict__.copy()
+        d["allowed_langs"] = list(self.allowed_langs)
+        return d
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "RuleConfig":
+        d = dict(d)
+        d["allowed_langs"] = tuple(d.get("allowed_langs", ()))
+        return cls(**d)
+
+
+# Ordered rule names — the cascade order (first failure wins).
+RULE_ORDER = [
+    "too_short",
+    "too_long",
+    "too_few_words",
+    "nonprintable",
+    "repeated_lines",
+    "long_words",
+    "lang_not_allowed",
+    "too_many_scrub_hits",
+]
+
+
+def nonprintable_ratio(raw: str) -> float:
+    if not raw:
+        return 0.0
+    return len(_NONPRINT.findall(raw)) / len(raw)
+
+
+def repeated_line_fraction(raw: str) -> float:
+    """1 - distinct/total over non-empty trimmed lines of the RAW text
+    (minified/generated-code heuristic; reference grounding: TEXT_4)."""
+    lines = [ln.strip(" \t") for ln in raw.split("\n")]
+    lines = [ln for ln in lines if ln]
+    if not lines:
+        return 0.0
+    return 1.0 - len(set(lines)) / len(lines)
+
+
+def mean_word_length(clean: str) -> float:
+    toks = _WORD.findall(clean)
+    if not toks:
+        return 0.0
+    return sum(len(t) for t in toks) / len(toks)
+
+
+def decide(
+    raw: str,
+    clean: str,
+    lang: str,
+    scrub_hits: int,
+    cfg: RuleConfig,
+) -> tuple[bool, str]:
+    """Run the cascade; returns (keep, drop_reason) with reason '' on keep."""
+    n = len(raw)
+    if n < cfg.min_chars:
+        return False, "too_short"
+    if n > cfg.max_chars:
+        return False, "too_long"
+    if _nwords(clean) < cfg.min_words:
+        return False, "too_few_words"
+    if nonprintable_ratio(raw) > cfg.max_nonprintable_ratio:
+        return False, "nonprintable"
+    if repeated_line_fraction(raw) > cfg.max_repeated_line_fraction:
+        return False, "repeated_lines"
+    if mean_word_length(clean) > cfg.max_mean_word_length:
+        return False, "long_words"
+    if cfg.allowed_langs and lang not in cfg.allowed_langs:
+        return False, "lang_not_allowed"
+    if scrub_hits > cfg.max_scrub_hits:
+        return False, "too_many_scrub_hits"
+    return True, ""

@@ -1,0 +1,75 @@
+"""PII / secret / toxicity scrubbing kernel.
+
+Ordered regex substitution chain (order is semantics: email before IP before
+generic hex secret, per SURVEY.md §7). Each step also reports a hit count for
+the drop-reason/lineage histograms. Generalises the reference's regex-
+substitution cleaning pattern (textpipe ``doc.py:210-216``) and rule-name
+tagging of ``Doc.match`` (``doc.py:246-258``) to a corpus scrubber.
+
+Patterns follow the tri-dialect rules in ``clean.py`` (Python re / Java / RE2).
+``\\b``, ``\\d`` and ``(?i)`` are supported by all three.
+"""
+
+from __future__ import annotations
+
+import re
+
+# name -> (pattern, replacement); ORDER IS SEMANTICS.
+SCRUB_STEPS: list[tuple[str, str, str]] = [
+    (
+        "email",
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "<EMAIL>",
+    ),
+    (
+        "ipv6",
+        r"\b(?:[0-9A-Fa-f]{1,4}:){3,7}[0-9A-Fa-f]{1,4}\b",
+        "<IP>",
+    ),
+    (
+        "ipv4",
+        r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+        "<IP>",
+    ),
+    (
+        "aws_key",
+        r"\b(?:AKIA|ASIA)[0-9A-Z]{16}\b",
+        "<SECRET>",
+    ),
+    (
+        "private_key",
+        r"-----BEGIN [A-Z ]*PRIVATE KEY-----",
+        "<SECRET>",
+    ),
+    (
+        "api_token",
+        r"\b(?:ghp|gho|ghs|xoxb|xoxp)_[A-Za-z0-9]{10,}\b",
+        "<SECRET>",
+    ),
+    (
+        "hex_secret",
+        r"\b[0-9a-f]{40,}\b",
+        "<SECRET>",
+    ),
+    (
+        "toxicity",
+        r"(?i)\b(?:fuck[a-z]*|shit[a-z]*|bitch[a-z]*|asshole[a-z]*|bastard[a-z]*|cunt[a-z]*|"
+        r"nigger[a-z]*|faggot[a-z]*)\b",
+        "<TOX>",
+    ),
+]
+
+SCRUB_NAMES = [name for name, _, _ in SCRUB_STEPS]
+
+_COMPILED = [(name, re.compile(pat), rep) for name, pat, rep in SCRUB_STEPS]
+
+
+def scrub(text: str | None) -> tuple[str, dict[str, int]]:
+    """Apply the full chain; return (scrubbed_text, {step_name: hits})."""
+    if text is None:
+        return "", {n: 0 for n in SCRUB_NAMES}
+    counts: dict[str, int] = {}
+    for name, pat, rep in _COMPILED:
+        text, n = pat.subn(rep, text)
+        counts[name] = n
+    return text, counts

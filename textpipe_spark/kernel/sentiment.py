@@ -1,0 +1,36 @@
+"""Lexicon sentiment kernel (reference ``Doc.sentiment``, doc.py:374-403).
+
+The reference delegates to the ``pattern`` library's polarity/subjectivity
+lexicons (en/nl/fr/it only, raising for other languages). We ship a small
+embedded polarity lexicon instead; the corpus-scale operator is the
+broadcast-lexicon join in SURVEY.md §2.1 #11, and the SQL oracle runs the
+same lexicon as an inline VALUES table — so the spec is tri-engine identical.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .tokenize import RE_WORD
+
+# token -> polarity in [-1, 1]; deliberately small & ASCII (tri-dialect safe)
+POLARITY: dict[str, float] = {
+    "good": 0.7, "great": 0.8, "excellent": 1.0, "nice": 0.6, "love": 0.5,
+    "best": 1.0, "fast": 0.4, "happy": 0.8, "win": 0.4, "clean": 0.3,
+    "bad": -0.7, "terrible": -1.0, "awful": -1.0, "hate": -0.8, "worst": -1.0,
+    "slow": -0.4, "bug": -0.3, "broken": -0.6, "fail": -0.5, "dirty": -0.3,
+}
+
+_WORD = re.compile(RE_WORD)
+
+
+def sentiment(clean: str) -> tuple[float, float]:
+    """(polarity, subjectivity): mean lexicon polarity over matched tokens,
+    subjectivity = matched/total tokens. (0.0, 0.0) when no tokens match."""
+    toks = [t.lower() for t in _WORD.findall(clean or "")]
+    if not toks:
+        return 0.0, 0.0
+    hits = [POLARITY[t] for t in toks if t in POLARITY]
+    if not hits:
+        return 0.0, 0.0
+    return sum(hits) / len(hits), len(hits) / len(toks)

@@ -1,0 +1,83 @@
+"""Tokenisation kernel — words / sentences / syllables with offsets.
+
+Replaces the reference's spaCy tokenizer (textpipe ``doc.py:282-334``) with a
+deterministic regex spec that is identical in Python ``re``, Java regex
+(Spark) and RE2 (DuckDB oracle). Same dialect rules as ``clean.py``.
+"""
+
+from __future__ import annotations
+
+import re
+
+# Word token: ASCII letters/digits/underscore plus Latin-1 letters.
+# Written as explicit ranges — `\w` differs between dialects.
+RE_WORD = "[A-Za-z0-9_À-ÖØ-öø-ÿ]+"
+
+# BPE-ish pre-tokenizer (GPT-2-style coarse approximation): runs of letters,
+# runs of digits, or a single non-space symbol.
+RE_BPE = "[A-Za-zÀ-ÖØ-öø-ÿ]+|[0-9]+|[^A-Za-z0-9À-ÖØ-öø-ÿ \t\n\r\f\v]"
+
+# Sentence boundary: one or more of .!? (reference: spaCy sents,
+# doc.py:282-309; ours is the rule-based equivalent).
+RE_SENT_SPLIT = "[.!?]+"
+
+# Syllable proxy: vowel groups (Flesch inputs, reference doc.py:356-372 uses
+# textacy's syllable counts; ours is the standard vowel-group approximation).
+RE_SYLLABLE = "[aeiouyAEIOUY]+"
+
+_WORD = re.compile(RE_WORD)
+_BPE = re.compile(RE_BPE)
+_SENT = re.compile(RE_SENT_SPLIT)
+_SYL = re.compile(RE_SYLLABLE)
+
+
+def words(clean: str) -> list[tuple[str, int]]:
+    """Tokens with character offsets (reference ``Doc.words``, doc.py:323-334)."""
+    return [(m.group(0), m.start()) for m in _WORD.finditer(clean)]
+
+
+def nwords(clean: str) -> int:
+    return sum(1 for _ in _WORD.finditer(clean))
+
+
+def ntokens_bpe(clean: str) -> int:
+    return sum(1 for _ in _BPE.finditer(clean))
+
+
+def sentences(clean: str) -> list[tuple[str, int]]:
+    """Sentences with start offsets (reference ``Doc.sents``, doc.py:294-309).
+
+    Segments are the non-empty stretches between ``[.!?]+`` boundaries,
+    trimmed of spaces.
+    """
+    out: list[tuple[str, int]] = []
+    pos = 0
+    for m in _SENT.finditer(clean):
+        seg = clean[pos : m.start()]
+        stripped = seg.strip(" ")
+        if stripped:
+            out.append((stripped, pos + seg.index(stripped[0])))
+        pos = m.end()
+    seg = clean[pos:]
+    stripped = seg.strip(" ")
+    if stripped:
+        out.append((stripped, pos + seg.index(stripped[0])))
+    return out
+
+
+def nsents(clean: str) -> int:
+    """Count of non-empty inter-boundary segments — matches the SQL spec
+    ``size(filter(split(clean, RE_SENT_SPLIT), s -> trim(s) != ''))``."""
+    return sum(1 for seg in _SENT.split(clean) if seg.strip(" "))
+
+
+def nsyllables(clean: str) -> int:
+    return sum(1 for _ in _SYL.finditer(clean))
+
+
+def flesch(nw: int, ns: int, nsyl: int) -> float:
+    """Flesch reading ease (reference ``Doc.complexity``, doc.py:356-372);
+    returns 100.0 when there are no syllables/words (doc.py:370-371)."""
+    if nsyl == 0 or nw == 0 or ns == 0:
+        return 100.0
+    return 206.835 - 1.015 * (nw / ns) - 84.6 * (nsyl / nw)

@@ -1,0 +1,195 @@
+"""Config-driven pipeline builder — the Spark analogue of textpipe's
+``Pipeline`` (reference ``pipeline.py:12-147``).
+
+A pipeline is a list of named steps; each step is a column-builder
+``(df, cfg) -> dict[str, Column]`` from the OPERATIONS registry (the
+analogue of resolving operation classes by name, ``pipeline.py:49-52``, and
+of ``register_operation``, ``pipeline.py:81-89``). Steps see all previous
+steps' columns — the reference's ``context`` dict (``pipeline.py:73-78``)
+maps to earlier named columns in the same DataFrame.
+
+Design rule (SURVEY.md §4): every shared intermediate (clean, langid struct,
+scrub struct) is materialised as ONE named column — Catalyst does not CSE
+duplicate pandas-UDF calls, so the builder emits each UDF exactly once.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .functions import text as X
+from .kernel.rules import RuleConfig
+from . import udfs
+
+
+@dataclass
+class PipelineConfig:
+    """JSON-serialisable job config (reference ``Pipeline.save/load``,
+    pipeline.py:91-147: steps + kwargs round-trip; models NOT serialised)."""
+
+    steps: list[str] = field(
+        default_factory=lambda: [
+            "clean", "langid", "token_stats", "complexity", "scrub", "decide"
+        ]
+    )
+    rules: RuleConfig = field(default_factory=RuleConfig)
+    raw_col: str = "content"
+    hint_lang_col: str | None = None
+    salt_buckets: int = 64
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "steps": self.steps,
+                "rules": self.rules.to_dict(),
+                "raw_col": self.raw_col,
+                "hint_lang_col": self.hint_lang_col,
+                "salt_buckets": self.salt_buckets,
+            },
+            indent=2,
+            sort_keys=True,
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "PipelineConfig":
+        d = json.loads(s)
+        d["rules"] = RuleConfig.from_dict(d["rules"])
+        return cls(**d)
+
+    def save(self, path: str) -> None:
+        with open(path, "w", encoding="utf-8") as fh:
+            fh.write(self.to_json())
+
+    @classmethod
+    def load(cls, path: str) -> "PipelineConfig":
+        with open(path, encoding="utf-8") as fh:
+            return cls.from_json(fh.read())
+
+
+StepFn = Callable[[DataFrame, PipelineConfig], dict]
+
+
+def _step_clean(df: DataFrame, cfg: PipelineConfig) -> dict:
+    return {"clean": X.clean_col(F.col(cfg.raw_col))}
+
+
+def _step_langid(df: DataFrame, cfg: PipelineConfig) -> dict:
+    hint = F.col(cfg.hint_lang_col) if cfg.hint_lang_col else None
+    return {"_lid": X.langid_struct_col(F.col("clean"), hint)}
+
+
+def _step_langid_model(df: DataFrame, cfg: PipelineConfig) -> dict:
+    return {"_lid_model": udfs.langid_model_udf(F.col("clean"))}
+
+
+def _step_token_stats(df: DataFrame, cfg: PipelineConfig) -> dict:
+    clean = F.col("clean")
+    return {
+        "nwords": X.nwords_col(clean),
+        "nsents": X.nsents_col(clean),
+        "nsyllables": X.nsyllables_col(clean),
+        "nonprintable_ratio": X.nonprintable_ratio_col(F.col(cfg.raw_col)),
+        "repeated_line_fraction": X.repeated_line_fraction_col(F.col(cfg.raw_col)),
+        "mean_word_length": X.mean_word_length_col(clean),
+    }
+
+
+def _step_complexity(df: DataFrame, cfg: PipelineConfig) -> dict:
+    # references the token_stats columns — each regex count computed once
+    return {
+        "complexity": X.flesch_col(
+            F.col("nwords"), F.col("nsents"), F.col("nsyllables")
+        )
+    }
+
+
+def _step_perplexity(df: DataFrame, cfg: PipelineConfig) -> dict:
+    return {"perplexity": udfs.perplexity_udf(F.col("clean"))}
+
+
+def _step_scrub(df: DataFrame, cfg: PipelineConfig) -> dict:
+    return {"_scrub": X.scrub_struct_col(F.col("clean"))}
+
+
+def _step_minhash(df: DataFrame, cfg: PipelineConfig) -> dict:
+    return {"minhash": udfs.minhash_udf(F.col("clean"))}
+
+
+def _step_decide(df: DataFrame, cfg: PipelineConfig) -> dict:
+    return {
+        "_decision": X.decision_struct_col(
+            F.col(cfg.raw_col),
+            F.col("clean"),
+            F.col("_lid.lang"),
+            F.col("_scrub.total_hits"),
+            cfg.rules,
+        )
+    }
+
+
+OPERATIONS: dict[str, StepFn] = {
+    "clean": _step_clean,
+    "langid": _step_langid,
+    "langid_model": _step_langid_model,
+    "token_stats": _step_token_stats,
+    "complexity": _step_complexity,
+    "perplexity": _step_perplexity,
+    "scrub": _step_scrub,
+    "minhash": _step_minhash,
+    "decide": _step_decide,
+}
+
+
+def register_operation(name: str, fn: StepFn) -> None:
+    """Custom-op plug-in (reference ``register_operation``,
+    pipeline.py:81-89; tests/test_pipeline.py:87-119)."""
+    OPERATIONS[name] = fn
+
+
+def build(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
+    """Apply the configured steps; unknown step name raises KeyError
+    (reference: unknown op -> AttributeError, tests/test_pipeline.py:147)."""
+    cfg = cfg or PipelineConfig()
+    for step in cfg.steps:
+        try:
+            fn = OPERATIONS[step]
+        except KeyError as exc:
+            raise KeyError(f"unknown pipeline operation: {step!r}") from exc
+        df = df.withColumns(fn(df, cfg))
+    # flatten the structs into the public schema
+    flat = {}
+    if "_lid" in df.columns:
+        flat["lang"] = F.col("_lid.lang")
+        flat["lang_reliable"] = F.col("_lid.reliable")
+    if "_lid_model" in df.columns:
+        flat["lang_model"] = F.col("_lid_model.lang")
+        flat["lang_model_conf"] = F.col("_lid_model.conf")
+    if "_scrub" in df.columns:
+        flat["scrubbed"] = F.col("_scrub.text")
+        flat["scrub_hits"] = F.col("_scrub.total_hits")
+        flat["scrubbed_sha256"] = F.sha2(F.col("_scrub.text"), 256)
+    if "_decision" in df.columns:
+        flat["keep"] = F.col("_decision.keep")
+        flat["drop_reason"] = F.col("_decision.drop_reason")
+    df = df.withColumns(flat)
+    return df.drop("_lid", "_lid_model", "_scrub", "_decision")
+
+
+def salted_repartition(
+    df: DataFrame,
+    cfg: PipelineConfig,
+    hot_key: str = "repo",
+    spread_key: str = "path",
+) -> DataFrame:
+    """Skew guard for giant repos (SURVEY.md §2.3 / BASELINE.json:6):
+    partition on (hot_key, pmod(hash(spread_key), B)) so a repo holding >20%
+    of all files fans out over B partitions instead of one straggler, while
+    files stay co-located at (repo, salt) granularity for downstream writes.
+    """
+    salt = F.pmod(F.hash(F.col(spread_key)), F.lit(cfg.salt_buckets))
+    return df.repartition(F.col(hot_key), salt)

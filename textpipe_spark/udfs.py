@@ -1,0 +1,82 @@
+"""Arrow-vectorized pandas UDFs for the model kernels.
+
+Only the operators that genuinely need a model live here (SURVEY.md §4):
+char-n-gram language ID, bigram-LM perplexity, MinHash/SimHash signatures,
+winnowing fingerprints. Everything else is native Column expressions in
+``functions/``.
+
+Model discipline (BASELINE.json:6): models are process-global lazy
+singletons inside the worker (``kernel.langid.get_model`` /
+``kernel.lm.get_lm``) — loaded once per Python worker, never per row; the
+batch loop is per-Arrow-batch pandas ``map``. In cluster mode the artifacts
+ship via ``spark-submit --py-files`` (they are pure-Python modules with
+embedded seed data, so --py-files IS the artifact channel; a .npz via
+--files + SparkFiles.get() drops in behind the same getters).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .kernel import langid as klangid
+from .kernel import lm as klm
+from .kernel import minhash as kmh
+from .kernel import tokenize as ktok
+
+LANGID_SCHEMA = T.StructType(
+    [
+        T.StructField("lang", T.StringType()),
+        T.StructField("conf", T.DoubleType()),
+        T.StructField("reliable", T.BooleanType()),
+    ]
+)
+
+
+@F.pandas_udf(LANGID_SCHEMA)
+def langid_model_udf(clean: pd.Series) -> pd.DataFrame:
+    model = klangid.get_model()  # worker singleton — load once per process
+    rows = [model.score(t or "") for t in clean]
+    return pd.DataFrame(rows, columns=["lang", "conf", "reliable"])
+
+
+@F.pandas_udf(T.DoubleType())
+def perplexity_udf(clean: pd.Series) -> pd.Series:
+    lm = klm.get_lm()
+    return pd.Series(
+        [min(lm.perplexity(t or ""), 1e9) for t in clean], dtype="float64"
+    )
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def minhash_udf(clean: pd.Series) -> pd.Series:
+    return pd.Series([kmh.minhash_text(t or "") for t in clean])
+
+
+@F.pandas_udf(T.LongType())
+def simhash_udf(clean: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            kmh.simhash64([w.lower() for w in ktok._WORD.findall(t or "")])
+            for t in clean
+        ],
+        dtype="int64",
+    )
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def winnow_udf(clean: pd.Series) -> pd.Series:
+    return pd.Series([kmh.winnow_fingerprints(t or "") for t in clean])
+
+
+def lsh_bands_col(minhash_col, bands: int = 16):
+    """Native band hashes from a minhash signature column: slice + hash —
+    no second UDF pass over the text."""
+    rows = kmh.NUM_PERM // bands
+    return F.array(
+        *[
+            F.hash(F.lit(i), F.slice(minhash_col, i * rows + 1, rows)).cast("long")
+            for i in range(bands)
+        ]
+    )
