@@ -1,0 +1,142 @@
+"""Corpus-scale deduplication operators.
+
+The scalable generalisation of the reference's ``Doc.similarity``
+(textpipe ``doc.py:480-497``: pairwise MinHash Jaccard) — at 10^12 files a
+pairwise compare is impossible, so near-dup detection goes through LSH
+banding: signature → band hashes → groupBy(band) self-join → verify on the
+full signature. Exact dedup is a hash groupBy; SimHash buckets by rotated
+prefixes for Hamming-distance candidates.
+
+Scale notes: every join here is an equi-join on a hash key (shuffle
+partitioned, AQE-skew-safe); candidate verification happens AFTER the
+band/bucket blocking, so the cross-product never materialises.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import udfs
+from .kernel.minhash import NUM_PERM
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep-first exact dedup by content hash (one shuffle on the sha)."""
+    sha = F.sha2(F.col(text_col), 256).alias("_sha")
+    w = Window.partitionBy("_sha").orderBy(F.col(id_col))
+    return (
+        df.withColumn("_sha", sha)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_sha", "_rn")
+    )
+
+
+def with_minhash(df: DataFrame, text_col: str, num_perm: int = NUM_PERM) -> DataFrame:
+    return df.withColumn("minhash", udfs.minhash_udf(F.col(text_col)))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate pairs whose estimated Jaccard >= threshold.
+
+    signature (one UDF pass) → explode band hashes → self-join per band →
+    distinct candidates → verify with native array compare (no Python).
+    """
+    sig = with_minhash(df.select(id_col, text_col), text_col)
+    banded = sig.select(
+        F.col(id_col),
+        F.col("minhash"),
+        F.posexplode(udfs.lsh_bands_col(F.col("minhash"), bands)).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    left = banded.select(
+        F.col(id_col).alias("id1"),
+        F.col("minhash").alias("mh1"),
+        "band_idx",
+        "band_hash",
+    )
+    right = banded.select(
+        F.col(id_col).alias("id2"),
+        F.col("minhash").alias("mh2"),
+        "band_idx",
+        "band_hash",
+    )
+    cands = (
+        left.join(right, ["band_idx", "band_hash"])
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "mh1", "mh2")
+        .dropDuplicates(["id1", "id2"])
+    )
+    # verify: estimated Jaccard = fraction of equal signature positions
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("mh1"), F.col("mh2"), lambda a, b: a == b),
+                lambda x: x,
+            )
+        ).cast("double")
+        / F.lit(float(NUM_PERM))
+    )
+    return (
+        cands.withColumn("jaccard_est", F.round(est, 4))
+        .where(F.col("jaccard_est") >= threshold)
+        .select(
+            F.col("id1").cast("long"), F.col("id2").cast("long"), "jaccard_est"
+        )
+    )
+
+
+def minhash_dedup(
+    df: DataFrame, text_col: str, id_col: str, threshold: float = 0.8
+) -> DataFrame:
+    """Drop near-duplicates, keeping the lowest id of each dup pair-set
+    (keep-first semantics, SURVEY.md §2.3 'near-dup drop')."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, threshold)
+    losers = pairs.select(F.col("id2").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup candidates: block on each of 4 16-bit chunks (a pair
+    within Hamming distance 3 of 64 bits shares at least one exact chunk by
+    pigeonhole), verify with native bit_count."""
+    sim = df.select(id_col, udfs.simhash_udf(F.col(text_col)).alias("simhash"))
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk_idx"),
+                F.shiftright(F.col("simhash"), i * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("chunk"),
+            )
+            for i in range(4)
+        ]
+    )
+    blocked = sim.select(
+        F.col(id_col), F.col("simhash"), F.explode(chunks).alias("c")
+    ).select(id_col, "simhash", "c.chunk_idx", "c.chunk")
+    left = blocked.select(
+        F.col(id_col).alias("id1"), F.col("simhash").alias("sh1"), "chunk_idx", "chunk"
+    )
+    right = blocked.select(
+        F.col(id_col).alias("id2"), F.col("simhash").alias("sh2"), "chunk_idx", "chunk"
+    )
+    hamming = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
+    return (
+        left.join(right, ["chunk_idx", "chunk"])
+        .where(F.col("id1") < F.col("id2"))
+        .dropDuplicates(["id1", "id2"])
+        .withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select(F.col("id1").cast("long"), F.col("id2").cast("long"), "hamming")
+    )

@@ -1,0 +1,165 @@
+"""DuckDB oracle-SQL generator.
+
+Builds ANSI/DuckDB SQL strings from the SAME kernel constants the Spark
+column builders use, so the driver's side-by-side check (Spark vs DuckDB at
+sf=0.01) exercises one spec in two engines. Dialect shims live here and
+ONLY here:
+
+  * DuckDB ``regexp_replace`` replaces the FIRST match unless the 'g' flag
+    is passed — every call below passes 'g' (Spark/Python replace all).
+  * counting matches is ``len(regexp_extract_all(..))`` (no regexp_count).
+  * integer ``sum()`` returns HUGEINT — always cast to BIGINT to match
+    Spark's LongType.
+"""
+
+from __future__ import annotations
+
+from .kernel import clean as kclean
+from .kernel import langid as klangid
+from .kernel import rules as krules
+from .kernel import scrub as kscrub
+from .kernel import sentiment as ksent
+from .kernel import tokenize as ktok
+from .kernel.clean import sql_lit
+from .kernel.rules import RuleConfig
+
+
+def rr(expr: str, pat: str, rep: str) -> str:
+    return f"regexp_replace({expr}, {sql_lit(pat)}, {sql_lit(rep)}, 'g')"
+
+
+def rcount(expr: str, pat: str) -> str:
+    return f"len(regexp_extract_all({expr}, {sql_lit(pat)}))"
+
+
+def clean_sql(expr: str = "coalesce(text, '')") -> str:
+    """The kernel clean chain as nested regexp_replace + trim."""
+    out = expr
+    for pat, rep in kclean.CLEAN_STEPS:
+        out = rr(out, pat, rep)
+    return f"trim({out}, ' ')"
+
+
+def nwords_sql(clean: str) -> str:
+    return rcount(clean, ktok.RE_WORD)
+
+
+def nsents_sql(clean: str) -> str:
+    return (
+        f"len(list_filter(list_transform("
+        f"regexp_split_to_array({clean}, {sql_lit(ktok.RE_SENT_SPLIT)}), "
+        f"s -> trim(s, ' ')), s -> s != ''))"
+    )
+
+
+def nsyllables_sql(clean: str) -> str:
+    return rcount(clean, ktok.RE_SYLLABLE)
+
+
+def flesch_sql(nw: str, ns: str, nsyl: str) -> str:
+    return (
+        f"CASE WHEN {nsyl} = 0 OR {nw} = 0 OR {ns} = 0 THEN 100.0 "
+        f"ELSE 206.835 - 1.015 * (CAST({nw} AS DOUBLE) / CAST({ns} AS DOUBLE)) "
+        f"- 84.6 * (CAST({nsyl} AS DOUBLE) / CAST({nw} AS DOUBLE)) END"
+    )
+
+
+def nonprintable_ratio_sql(raw: str) -> str:
+    return (
+        f"CASE WHEN length({raw}) = 0 THEN 0.0 "
+        f"ELSE CAST({rcount(raw, krules.RE_NONPRINTABLE)} AS DOUBLE) "
+        f"/ CAST(length({raw}) AS DOUBLE) END"
+    )
+
+
+def repeated_line_fraction_sql(raw: str) -> str:
+    trim_pat = "^[ \t]+|[ \t]+$"
+    trimmed = rr("s", trim_pat, "")
+    lines = (
+        f"list_filter(list_transform(string_split({raw}, chr(10)), "
+        f"s -> {trimmed}), s -> s != '')"
+    )
+    return (
+        f"CASE WHEN len({lines}) = 0 THEN 0.0 "
+        f"ELSE 1.0 - CAST(len(list_distinct({lines})) AS DOUBLE) "
+        f"/ CAST(len({lines}) AS DOUBLE) END"
+    )
+
+
+def mean_word_length_sql(clean: str) -> str:
+    toks = f"regexp_extract_all({clean}, {sql_lit(ktok.RE_WORD)})"
+    return (
+        f"CASE WHEN len({toks}) = 0 THEN 0.0 "
+        f"ELSE CAST(length(list_aggregate({toks}, 'string_agg', '')) AS DOUBLE) "
+        f"/ CAST(len({toks}) AS DOUBLE) END"
+    )
+
+
+def stopword_count_sql(clean: str, lang: str) -> str:
+    return rcount(clean, klangid.stopword_pattern(lang))
+
+
+def langid_sql(clean: str) -> tuple[str, str]:
+    """(lang_expr, reliable_expr) over named count aliases sw_<lang> that the
+    caller must define in an enclosing select."""
+    langs = klangid.LANG_ORDER
+    # first-in-order argmax
+    best = "CASE "
+    for lg in langs:
+        conds = " AND ".join(
+            f"sw_{lg} >= sw_{o}" for o in langs if o != lg
+        )
+        best += f"WHEN {conds} THEN '{lg}' "
+    best += "END"
+    top = "greatest(" + ", ".join(f"sw_{lg}" for lg in langs) + ")"
+    all_arr = "[" + ", ".join(f"sw_{lg}" for lg in langs) + "]"
+    second = f"list_sort({all_arr})[{len(langs) - 1}]"
+    lang = f"CASE WHEN {top} = 0 THEN '{klangid.UNKNOWN}' ELSE {best} END"
+    reliable = (
+        f"({top} > 0 AND ({top} - {second}) >= {klangid.RELIABLE_MARGIN})"
+    )
+    return lang, reliable
+
+
+def scrub_chain_sql(expr: str) -> tuple[list[str], str]:
+    """Returns ([count_expr per step computed on pre-step text], final_text).
+
+    NOTE: count N is evaluated against the text state BEFORE step N — the
+    kernel's sequential ``subn`` semantics — so each count expr embeds the
+    chain of all previous replacements.
+    """
+    cur = expr
+    counts = []
+    for _, pat, rep in kscrub.SCRUB_STEPS:
+        counts.append(rcount(cur, pat))
+        cur = rr(cur, pat, rep)
+    return counts, cur
+
+
+def decision_sql(raw: str, clean: str, lang: str, scrub_hits: str, cfg: RuleConfig) -> str:
+    """drop_reason CASE cascade ('' = keep)."""
+    checks = [
+        ("too_short", f"length({raw}) < {cfg.min_chars}"),
+        ("too_long", f"length({raw}) > {cfg.max_chars}"),
+        ("too_few_words", f"{nwords_sql(clean)} < {cfg.min_words}"),
+        ("nonprintable", f"{nonprintable_ratio_sql(raw)} > {cfg.max_nonprintable_ratio}"),
+        ("repeated_lines", f"{repeated_line_fraction_sql(raw)} > {cfg.max_repeated_line_fraction}"),
+        ("long_words", f"{mean_word_length_sql(clean)} > {cfg.max_mean_word_length}"),
+    ]
+    if cfg.allowed_langs:
+        langs = ", ".join(f"'{lg}'" for lg in cfg.allowed_langs)
+        checks.append(("lang_not_allowed", f"{lang} NOT IN ({langs})"))
+    checks.append(("too_many_scrub_hits", f"{scrub_hits} > {cfg.max_scrub_hits}"))
+    out = "CASE "
+    for name, cond in checks:
+        out += f"WHEN {cond} THEN '{name}' "
+    return out + "ELSE '' END"
+
+
+def sentiment_lexicon_values() -> str:
+    """Inline VALUES table (token, pol10) — integer deci-polarity so sums
+    are exact in any accumulation order."""
+    rows = ", ".join(
+        f"('{tok}', {int(round(pol * 10))})" for tok, pol in sorted(ksent.POLARITY.items())
+    )
+    return f"(VALUES {rows}) AS lex(token, pol10)"

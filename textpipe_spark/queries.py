@@ -1,0 +1,791 @@
+"""The driver-facing query suite: Spark callables + DuckDB oracle SQL.
+
+Every SQL-expressible operator from SURVEY.md §2 gets a (query, oracle)
+pair over the driver's testdata; model-backed operators (pandas UDFs) are
+rows-only. Column names are aliased IDENTICALLY on both sides (the driver
+hashes values after sorting columns by name).
+
+Determinism rules for the oracle match:
+  * integer results wherever possible (DuckDB sums cast to BIGINT, Spark
+    counts cast to long),
+  * per-row double arithmetic is identical-order on both engines,
+  * aggregated doubles are rounded (4 dp) — accumulation order differs
+    between engines, rounding absorbs the 1e-12 drift,
+  * top-k orderings always carry a unique tie-break key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import oracle as O
+from . import udfs
+from .functions import text as X
+from .functions import vector as V
+from .kernel import langid as klangid
+from .kernel import scrub as kscrub
+from .kernel import sentiment as ksent
+from .kernel import tokenize as ktok
+from .kernel.clean import sql_lit
+from .kernel.rules import RuleConfig
+from .pipeline import PipelineConfig, build
+
+CFG = RuleConfig()
+
+RAW = "coalesce(text, '')"
+CLEAN = O.clean_sql(RAW)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return df.select(
+        "doc_id",
+        "source",
+        F.coalesce(F.col("text"), F.lit("")).alias("raw"),
+        X.clean_col(F.coalesce(F.col("text"), F.lit(""))).alias("clean"),
+    )
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --------------------------------------------------------------------- q: clean
+
+def q_clean(spark, sf_dir):
+    return _docs(spark, sf_dir).select("doc_id", "clean")
+
+
+SQL_CLEAN = f"SELECT doc_id, {CLEAN} AS clean FROM documents"
+
+
+# --------------------------------------------------------------- q: token stats
+
+def q_token_stats(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    c = F.col("clean")
+    return d.select(
+        "doc_id",
+        X.nwords_col(c).cast("long").alias("nwords"),
+        X.nsents_col(c).cast("long").alias("nsents"),
+        X.nsyllables_col(c).cast("long").alias("nsyllables"),
+        X.ntokens_bpe_col(c).cast("long").alias("ntokens_bpe"),
+    )
+
+
+SQL_TOKEN_STATS = f"""
+WITH base AS (SELECT doc_id, {CLEAN} AS clean FROM documents)
+SELECT doc_id,
+       CAST({O.nwords_sql('clean')} AS BIGINT) AS nwords,
+       CAST({O.nsents_sql('clean')} AS BIGINT) AS nsents,
+       CAST({O.nsyllables_sql('clean')} AS BIGINT) AS nsyllables,
+       CAST({O.rcount('clean', ktok.RE_BPE)} AS BIGINT) AS ntokens_bpe
+FROM base
+"""
+
+
+# --------------------------------------------------------------- q: complexity
+
+def q_complexity(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    c = F.col("clean")
+    nw, ns, nsyl = X.nwords_col(c), X.nsents_col(c), X.nsyllables_col(c)
+    return d.select(
+        "doc_id", F.round(X.flesch_col(nw, ns, nsyl), 4).alias("complexity")
+    )
+
+
+SQL_COMPLEXITY = f"""
+WITH base AS (SELECT doc_id, {CLEAN} AS clean FROM documents)
+SELECT doc_id,
+       round({O.flesch_sql(O.nwords_sql('clean'), O.nsents_sql('clean'), O.nsyllables_sql('clean'))}, 4) AS complexity
+FROM base
+"""
+
+
+# ------------------------------------------------------------ q: heuristic rules
+
+def q_heuristic_rules(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.length("raw").cast("long").alias("n_chars_raw"),
+        F.round(X.nonprintable_ratio_col(F.col("raw")), 6).alias("nonprintable_ratio"),
+        F.round(X.repeated_line_fraction_col(F.col("raw")), 6).alias("repeated_line_fraction"),
+        F.round(X.mean_word_length_col(F.col("clean")), 4).alias("mean_word_length"),
+    )
+
+
+SQL_HEURISTIC_RULES = f"""
+WITH base AS (SELECT doc_id, {RAW} AS raw, {CLEAN} AS clean FROM documents)
+SELECT doc_id,
+       CAST(length(raw) AS BIGINT) AS n_chars_raw,
+       round({O.nonprintable_ratio_sql('raw')}, 6) AS nonprintable_ratio,
+       round({O.repeated_line_fraction_sql('raw')}, 6) AS repeated_line_fraction,
+       round({O.mean_word_length_sql('clean')}, 4) AS mean_word_length
+FROM base
+"""
+
+
+# ------------------------------------------------------------------- q: langid
+
+def q_langid(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    lid = X.langid_struct_col(F.col("clean"))
+    return d.select(
+        "doc_id", lid["lang"].alias("lang"), lid["reliable"].alias("lang_reliable")
+    )
+
+
+def _sql_langid_base() -> str:
+    sw = ",\n       ".join(
+        f"{O.stopword_count_sql('clean', lg)} AS sw_{lg}" for lg in klangid.LANG_ORDER
+    )
+    return f"""
+WITH base AS (SELECT doc_id, {CLEAN} AS clean FROM documents),
+counts AS (SELECT doc_id,
+       {sw}
+FROM base)"""
+
+
+def _sql_langid() -> str:
+    lang, reliable = O.langid_sql("clean")
+    return f"""{_sql_langid_base()}
+SELECT doc_id, {lang} AS lang, {reliable} AS lang_reliable FROM counts
+"""
+
+
+SQL_LANGID = _sql_langid()
+
+
+# ----------------------------------------------------------- q: lang histogram
+
+def q_lang_histogram(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    lid = X.langid_struct_col(F.col("clean"))
+    return (
+        d.select(lid["lang"].alias("lang"))
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+def _sql_lang_histogram() -> str:
+    lang, _ = O.langid_sql("clean")
+    return f"""{_sql_langid_base()}
+SELECT {lang} AS lang, CAST(count(*) AS BIGINT) AS n_docs FROM counts GROUP BY 1
+"""
+
+
+SQL_LANG_HISTOGRAM = _sql_lang_histogram()
+
+
+# -------------------------------------------------------------------- q: scrub
+
+def q_scrub(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    s = X.scrub_struct_col(F.col("clean"))
+    cols = ["doc_id", s["text"].alias("scrubbed")]
+    cols += [s[f"{n}_hits"].cast("long").alias(f"{n}_hits") for n in kscrub.SCRUB_NAMES]
+    cols += [
+        s["total_hits"].cast("long").alias("total_hits"),
+        F.sha2(s["text"], 256).alias("scrubbed_sha256"),
+    ]
+    return d.select(*cols)
+
+
+def _sql_scrub() -> str:
+    counts, final = O.scrub_chain_sql("clean")
+    cols = ",\n       ".join(
+        f"CAST({c} AS BIGINT) AS {n}_hits" for c, n in zip(counts, kscrub.SCRUB_NAMES)
+    )
+    total = " + ".join(c for c in counts)
+    return f"""
+WITH base AS (SELECT doc_id, {CLEAN} AS clean FROM documents)
+SELECT doc_id,
+       {final} AS scrubbed,
+       {cols},
+       CAST({total} AS BIGINT) AS total_hits,
+       sha256({final}) AS scrubbed_sha256
+FROM base
+"""
+
+
+SQL_SCRUB = _sql_scrub()
+
+
+# ---------------------------------------------------------------- q: keep/drop
+
+def q_keep_drop(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    s = X.scrub_struct_col(F.col("clean"))
+    lid = X.langid_struct_col(F.col("clean"))
+    dec = X.decision_struct_col(
+        F.col("raw"), F.col("clean"), lid["lang"], s["total_hits"], CFG
+    )
+    return d.select(
+        "doc_id", dec["keep"].alias("keep"), dec["drop_reason"].alias("drop_reason")
+    )
+
+
+def _sql_keep_drop_base(extra_cols: str = "") -> str:
+    """CTE chain ending in ``decided(doc_id[, extra_cols], drop_reason)``."""
+    counts, _ = O.scrub_chain_sql("clean")
+    total = " + ".join(counts)
+    lang, _ = O.langid_sql("clean")
+    sw = ", ".join(
+        f"{O.stopword_count_sql('clean', lg)} AS sw_{lg}" for lg in klangid.LANG_ORDER
+    )
+    reason = O.decision_sql("raw", "clean", "lang", "scrub_hits", CFG)
+    ec = f"{extra_cols}, " if extra_cols else ""
+    return f"""
+WITH base AS (SELECT doc_id, {ec}{RAW} AS raw, {CLEAN} AS clean FROM documents),
+counts AS (SELECT doc_id, {ec}raw, clean, {sw}, CAST({total} AS BIGINT) AS scrub_hits FROM base),
+langed AS (SELECT doc_id, {ec}raw, clean, scrub_hits, {lang} AS lang FROM counts),
+decided AS (SELECT doc_id, {ec}{reason} AS drop_reason FROM langed)"""
+
+
+SQL_KEEP_DROP = f"""{_sql_keep_drop_base()}
+SELECT doc_id, drop_reason = '' AS keep, drop_reason FROM decided
+"""
+
+
+# ------------------------------------------------------------ q: drop histogram
+
+def q_drop_histogram(spark, sf_dir):
+    kd = q_keep_drop(spark, sf_dir)
+    return kd.groupBy("drop_reason").agg(F.count("*").cast("long").alias("n_docs"))
+
+
+SQL_DROP_HISTOGRAM = f"""{_sql_keep_drop_base()}
+SELECT drop_reason, CAST(count(*) AS BIGINT) AS n_docs FROM decided GROUP BY 1
+"""
+
+
+# -------------------------------------------------------------- q: exact dedup
+
+def q_exact_dedup(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("doc_id", F.sha2(F.col("clean"), 256).alias("content_sha"))
+        .groupBy("content_sha")
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.min("doc_id").cast("long").alias("keeper_doc_id"),
+        )
+    )
+
+
+SQL_EXACT_DEDUP = f"""
+WITH base AS (SELECT doc_id, sha256({CLEAN}) AS content_sha FROM documents)
+SELECT content_sha, CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+FROM base GROUP BY 1
+"""
+
+
+# -------------------------------------------------------- q: corpus word counts
+
+def q_word_counts(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    toks = F.regexp_extract_all(F.lower(F.col("clean")), F.lit(ktok.RE_WORD), 0)
+    return (
+        d.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+SQL_WORD_COUNTS = f"""
+WITH base AS (SELECT {CLEAN} AS clean FROM documents),
+toks AS (SELECT unnest(regexp_extract_all(lower(clean), {sql_lit(ktok.RE_WORD)})) AS token FROM base)
+SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks
+GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 20
+"""
+
+
+# ------------------------------------------------------------ q: lead sentences
+
+def q_lead_sentences(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    lead = X.lead_sentences_col(F.col("clean"), 3)
+    return d.select("doc_id", F.array_join(lead, " | ").alias("lead3"))
+
+
+SQL_LEAD_SENTENCES = f"""
+WITH base AS (SELECT doc_id, {CLEAN} AS clean FROM documents)
+SELECT doc_id,
+       array_to_string(list_filter(list_transform(
+           regexp_split_to_array(clean, {sql_lit(ktok.RE_SENT_SPLIT)}),
+           s -> trim(s, ' ')), s -> s != '')[1:3], ' | ') AS lead3
+FROM base
+"""
+
+
+# ---------------------------------------------------------------- q: sentiment
+
+def q_sentiment(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    toks = F.regexp_extract_all(F.lower(F.col("clean")), F.lit(ktok.RE_WORD), 0)
+    base = d.select("doc_id", F.explode_outer(toks).alias("token"))
+    lex = F.broadcast(
+        spark.createDataFrame(
+            [(t, int(round(p * 10))) for t, p in sorted(ksent.POLARITY.items())],
+            "token string, pol10 long",
+        )
+    )
+    joined = base.join(lex, "token", "left")
+    return joined.groupBy("doc_id").agg(
+        F.round(
+            F.when(
+                F.count("pol10") > 0,
+                F.sum("pol10").cast("double") / (10.0 * F.count("pol10")),
+            ).otherwise(0.0),
+            4,
+        ).alias("polarity"),
+        F.round(
+            F.when(
+                F.count("token") > 0,
+                F.count("pol10").cast("double") / F.count("token"),
+            ).otherwise(0.0),
+            4,
+        ).alias("subjectivity"),
+    )
+
+
+SQL_SENTIMENT = f"""
+WITH base AS (SELECT doc_id, {CLEAN} AS clean FROM documents),
+toks AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(regexp_extract_all(lower(clean), {sql_lit(ktok.RE_WORD)})) = 0
+         THEN [NULL]
+         ELSE regexp_extract_all(lower(clean), {sql_lit(ktok.RE_WORD)}) END
+  ) AS token FROM base),
+joined AS (
+  SELECT t.doc_id, t.token, lex.pol10
+  FROM toks t LEFT JOIN {O.sentiment_lexicon_values()} ON t.token = lex.token)
+SELECT doc_id,
+       round(CASE WHEN count(pol10) > 0
+             THEN CAST(CAST(sum(pol10) AS BIGINT) AS DOUBLE) / (10.0 * count(pol10))
+             ELSE 0.0 END, 4) AS polarity,
+       round(CASE WHEN count(token) > 0
+             THEN CAST(count(pol10) AS DOUBLE) / count(token)
+             ELSE 0.0 END, 4) AS subjectivity
+FROM joined GROUP BY doc_id
+"""
+
+
+# -------------------------------------------------------- q: unigram perplexity
+
+def q_unigram_ppl(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    toks = F.regexp_extract_all(F.lower(F.col("clean")), F.lit(ktok.RE_WORD), 0)
+    tok_df = d.select("doc_id", F.explode(toks).alias("token"))
+    freq = tok_df.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = tok_df.count()
+    joined = tok_df.join(F.broadcast(freq), "token")
+    return joined.groupBy("doc_id").agg(
+        F.round(
+            F.exp(-F.avg(F.log(F.col("cnt").cast("double") / F.lit(float(total))))),
+            2,
+        ).alias("unigram_ppl")
+    )
+
+
+SQL_UNIGRAM_PPL = f"""
+WITH base AS (SELECT doc_id, {CLEAN} AS clean FROM documents),
+toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(clean), {sql_lit(ktok.RE_WORD)})) AS token FROM base),
+freq AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+total AS (SELECT count(*) AS n FROM toks)
+SELECT t.doc_id,
+       round(exp(-avg(ln(CAST(f.cnt AS DOUBLE) / CAST(total.n AS DOUBLE)))), 2) AS unigram_ppl
+FROM toks t JOIN freq f USING (token), total
+GROUP BY t.doc_id
+"""
+
+
+# ----------------------------------------------------- q: n-gram jaccard dedup
+
+JACCARD_THRESHOLD = 0.5
+
+
+def _shingles_col(clean):
+    """Distinct word 3-gram shingles; docs with <3 tokens shingle to the
+    whole token sequence (so short docs still compare)."""
+    toks = F.regexp_extract_all(F.lower(clean), F.lit(ktok.RE_WORD), 0)
+    n = F.size(toks)
+    tri = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    return F.array_distinct(
+        F.when(n >= 3, tri).otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    t = d.select("doc_id", F.explode(_shingles_col(F.col("clean"))).alias("token"))
+    sizes = t.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    pairs = (
+        t.alias("a")
+        .join(t.alias("b"), "token")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        pairs.join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("sz", "s1"), "doc1")
+        .join(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("sz", "s2"), "doc2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("s1") + F.col("s2") - F.col("inter")).cast("double"),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select(
+            F.col("doc1").cast("long").alias("doc1"),
+            F.col("doc2").cast("long").alias("doc2"),
+            "jaccard",
+        )
+    )
+    return out
+
+
+SQL_JACCARD_PAIRS = f"""
+WITH base AS (SELECT doc_id, {CLEAN} AS clean FROM documents),
+toklist AS (SELECT doc_id, regexp_extract_all(lower(clean), {sql_lit(ktok.RE_WORD)}) AS t FROM base),
+shingled AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(t) >= 3
+           THEN list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+           ELSE [array_to_string(t, ' ')] END) AS sh
+  FROM toklist),
+toks AS (SELECT doc_id, unnest(sh) AS token FROM shingled),
+sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+  FROM toks a JOIN toks b USING (token)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT CAST(doc1 AS BIGINT) AS doc1, CAST(doc2 AS BIGINT) AS doc2,
+       round(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter), 4) AS jaccard
+FROM pairs
+JOIN sizes s1 ON s1.doc_id = doc1
+JOIN sizes s2 ON s2.doc_id = doc2
+WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= {JACCARD_THRESHOLD}
+"""
+
+
+# ------------------------------------------------------------------ q: ANN topk
+
+ANN_K = 10
+
+
+def q_ann_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    qv = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    cand = emb.where(F.col("vec_id") != 0)
+    scored = cand.crossJoin(F.broadcast(qv)).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.round(V.cosine_col(F.col("embedding"), F.col("qvec")), 4).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(ANN_K)
+
+
+SQL_ANN_TOPK = f"""
+WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
+           FROM embeddings WHERE vec_id = 0),
+cand AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings WHERE vec_id != 0),
+scored AS (
+  SELECT vec_id,
+         CASE WHEN sqrt(list_sum(list_transform(v, x -> x*x)))
+                   * sqrt(list_sum(list_transform(qvec, x -> x*x))) = 0 THEN 0.0
+              ELSE list_dot_product(v, qvec)
+                   / (sqrt(list_sum(list_transform(v, x -> x*x)))
+                      * sqrt(list_sum(list_transform(qvec, x -> x*x)))) END AS cos
+  FROM cand, q)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, round(cos, 4) AS cosine
+FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT {ANN_K}
+"""
+
+
+# ---------------------------------------------------------- q: doc vector stats
+
+def q_doc_vector_stats(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return (
+        emb.select(
+            F.col("label").cast("long").alias("label"),
+            V.norm_col(F.col("embedding")).alias("nrm"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+        )
+    )
+
+
+SQL_DOC_VECTOR_STATS = """
+WITH base AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         sqrt(list_sum(list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x*x))) AS nrm
+  FROM embeddings)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs, round(avg(nrm), 4) AS avg_norm
+FROM base GROUP BY 1
+"""
+
+
+# ------------------------------------------------------------ q: quality score
+
+def q_quality_score(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    c, r = F.col("clean"), F.col("raw")
+    nw = X.nwords_col(c).cast("double")
+    len_score = F.least(nw / F.lit(100.0), F.lit(1.0))
+    lid = X.langid_struct_col(c)
+    lang_known = F.when(lid["lang"] != klangid.UNKNOWN, 1.0).otherwise(0.0)
+    score = (
+        F.lit(0.4) * len_score
+        + F.lit(0.2) * (F.lit(1.0) - X.nonprintable_ratio_col(r))
+        + F.lit(0.2) * (F.lit(1.0) - X.repeated_line_fraction_col(r))
+        + F.lit(0.2) * lang_known
+    )
+    bucket = (
+        F.when(score >= 0.8, "high").when(score >= 0.5, "medium").otherwise("low")
+    )
+    return d.select(
+        "doc_id",
+        F.round(score, 4).alias("quality_score"),
+        bucket.alias("quality_bucket"),
+    )
+
+
+def _sql_quality_score() -> str:
+    lang, _ = O.langid_sql("clean")
+    sw = ", ".join(
+        f"{O.stopword_count_sql('clean', lg)} AS sw_{lg}" for lg in klangid.LANG_ORDER
+    )
+    score = (
+        f"0.4 * least(CAST({O.nwords_sql('clean')} AS DOUBLE) / 100.0, 1.0) "
+        f"+ 0.2 * (1.0 - {O.nonprintable_ratio_sql('raw')}) "
+        f"+ 0.2 * (1.0 - {O.repeated_line_fraction_sql('raw')}) "
+        f"+ 0.2 * (CASE WHEN lang != '{klangid.UNKNOWN}' THEN 1.0 ELSE 0.0 END)"
+    )
+    return f"""
+WITH base AS (SELECT doc_id, {RAW} AS raw, {CLEAN} AS clean FROM documents),
+counts AS (SELECT doc_id, raw, clean, {sw} FROM base),
+langed AS (SELECT doc_id, raw, clean, {lang} AS lang FROM counts),
+scored AS (SELECT doc_id, {score} AS score FROM langed)
+SELECT doc_id, round(score, 4) AS quality_score,
+       CASE WHEN score >= 0.8 THEN 'high' WHEN score >= 0.5 THEN 'medium' ELSE 'low' END AS quality_bucket
+FROM scored
+"""
+
+
+SQL_QUALITY_SCORE = _sql_quality_score()
+
+
+# ---------------------------------------------------------- q: lineage metrics
+
+def q_lineage_metrics(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    s = X.scrub_struct_col(F.col("clean"))
+    lid = X.langid_struct_col(F.col("clean"))
+    dec = X.decision_struct_col(
+        F.col("raw"), F.col("clean"), lid["lang"], s["total_hits"], CFG
+    )
+    rows = d.select("source", dec["drop_reason"].alias("drop_reason"))
+    aggs = [
+        F.count("*").cast("long").alias("files_in"),
+        F.sum(F.when(F.col("drop_reason") == "", 1).otherwise(0)).cast("long").alias("files_kept"),
+    ]
+    from .kernel.rules import RULE_ORDER
+
+    for reason in RULE_ORDER:
+        aggs.append(
+            F.sum(F.when(F.col("drop_reason") == reason, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_{reason}")
+        )
+    return rows.groupBy("source").agg(*aggs)
+
+
+def _sql_lineage_metrics() -> str:
+    from .kernel.rules import RULE_ORDER
+
+    base = _sql_keep_drop_base(extra_cols="source")
+    reasons = ",\n       ".join(
+        f"CAST(sum(CASE WHEN drop_reason = '{r}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{r}"
+        for r in RULE_ORDER
+    )
+    return f"""{base}
+SELECT source,
+       CAST(count(*) AS BIGINT) AS files_in,
+       CAST(sum(CASE WHEN drop_reason = '' THEN 1 ELSE 0 END) AS BIGINT) AS files_kept,
+       {reasons}
+FROM decided GROUP BY source
+"""
+
+
+SQL_LINEAGE_METRICS = _sql_lineage_metrics()
+
+
+# ---------------------------------------------------------------- q: emoji scan
+
+def q_emoji_counts(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", X.emoji_count_col(F.col("raw")).cast("long").alias("n_emoji")
+    )
+
+
+def _sql_emoji() -> str:
+    from .kernel import emoji as kemoji
+
+    return f"""
+SELECT doc_id, CAST({O.rcount(RAW, kemoji.EMOJI_PATTERN)} AS BIGINT) AS n_emoji
+FROM documents
+"""
+
+
+SQL_EMOJI = _sql_emoji()
+
+
+# ---------------------------------------------------- rows-only (model) queries
+
+def q_langid_model(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    lid = udfs.langid_model_udf(F.col("clean"))
+    return d.select(
+        "doc_id",
+        lid["lang"].alias("lang_model"),
+        F.round(lid["conf"], 4).alias("conf"),
+        lid["reliable"].alias("reliable"),
+    )
+
+
+def q_perplexity_lm(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", F.round(udfs.perplexity_udf(F.col("clean")), 3).alias("bigram_ppl")
+    )
+
+
+def q_minhash(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", udfs.minhash_udf(F.col("clean")).alias("minhash"))
+
+
+def q_simhash(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", udfs.simhash_udf(F.col("clean")).alias("simhash"))
+
+
+def q_fingerprint(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(udfs.winnow_udf(F.col("clean"))).cast("long").alias("n_fingerprints"),
+    )
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    from .dedup import minhash_lsh_pairs
+
+    d = _docs(spark, sf_dir).select("doc_id", "clean")
+    return minhash_lsh_pairs(d, text_col="clean", id_col="doc_id", threshold=0.8)
+
+
+def q_simhash_dedup(spark, sf_dir):
+    from .dedup import simhash_near_dup_pairs
+
+    d = _docs(spark, sf_dir).select("doc_id", "clean")
+    return simhash_near_dup_pairs(d, text_col="clean", id_col="doc_id", max_hamming=3)
+
+
+def q_flagship(spark, sf_dir):
+    """Full keep/drop + scrub pipeline (the flagship job)."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    cfg = PipelineConfig(raw_col="text")
+    out = build(df, cfg)
+    return out.select(
+        "doc_id", "lang", "nwords", "keep", "drop_reason", "scrub_hits",
+        "scrubbed_sha256",
+    )
+
+
+# ------------------------------------------------------------------- registry
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "clean": q_clean,
+    "token_stats": q_token_stats,
+    "complexity": q_complexity,
+    "heuristic_rules": q_heuristic_rules,
+    "langid": q_langid,
+    "lang_histogram": q_lang_histogram,
+    "scrub": q_scrub,
+    "keep_drop": q_keep_drop,
+    "drop_histogram": q_drop_histogram,
+    "exact_dedup": q_exact_dedup,
+    "word_counts": q_word_counts,
+    "lead_sentences": q_lead_sentences,
+    "sentiment": q_sentiment,
+    "unigram_ppl": q_unigram_ppl,
+    "jaccard_pairs": q_jaccard_pairs,
+    "ann_topk": q_ann_topk,
+    "doc_vector_stats": q_doc_vector_stats,
+    "quality_score": q_quality_score,
+    "lineage_metrics": q_lineage_metrics,
+    "emoji_counts": q_emoji_counts,
+    # rows-only (model UDFs / LSH — not SQL-expressible)
+    "langid_model": q_langid_model,
+    "perplexity_lm": q_perplexity_lm,
+    "minhash": q_minhash,
+    "simhash": q_simhash,
+    "fingerprint": q_fingerprint,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_dedup": q_simhash_dedup,
+    "flagship": q_flagship,
+}
+
+ORACLES: dict[str, str] = {
+    "clean": SQL_CLEAN,
+    "token_stats": SQL_TOKEN_STATS,
+    "complexity": SQL_COMPLEXITY,
+    "heuristic_rules": SQL_HEURISTIC_RULES,
+    "langid": SQL_LANGID,
+    "lang_histogram": SQL_LANG_HISTOGRAM,
+    "scrub": SQL_SCRUB,
+    "keep_drop": SQL_KEEP_DROP,
+    "drop_histogram": SQL_DROP_HISTOGRAM,
+    "exact_dedup": SQL_EXACT_DEDUP,
+    "word_counts": SQL_WORD_COUNTS,
+    "lead_sentences": SQL_LEAD_SENTENCES,
+    "sentiment": SQL_SENTIMENT,
+    "unigram_ppl": SQL_UNIGRAM_PPL,
+    "jaccard_pairs": SQL_JACCARD_PAIRS,
+    "ann_topk": SQL_ANN_TOPK,
+    "doc_vector_stats": SQL_DOC_VECTOR_STATS,
+    "quality_score": SQL_QUALITY_SCORE,
+    "lineage_metrics": SQL_LINEAGE_METRICS,
+    "emoji_counts": SQL_EMOJI,
+}
