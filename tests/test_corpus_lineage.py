@@ -1,0 +1,101 @@
+"""Corpus generator + checkpointed lineage loop tests (resume semantics)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from textpipe_spark.io import TableIO
+from textpipe_spark.lineage import (
+    LineageLog,
+    config_fingerprint,
+    metrics_table,
+    run_partitioned,
+)
+from textpipe_spark.pipeline import PipelineConfig
+
+from make_corpus import GIANT_REPO, generate_rows, write_corpus
+
+
+def test_generator_deterministic():
+    a = generate_rows(300, seed=42)
+    b = generate_rows(300, seed=42)
+    c = generate_rows(300, seed=43)
+    assert a == b
+    assert a != c
+
+
+def test_generator_skew_and_mix():
+    rows = generate_rows(2000, seed=42)
+    repos = [r[0] for r in rows]
+    giant = sum(1 for r in repos if r == GIANT_REPO)
+    assert giant / len(rows) > 0.15  # heavy hitter exists
+    contents = [r[4] for r in rows]
+    assert any("@" in c for c in contents)  # PII present
+    assert any("<p>" in c or "<a " in c for c in contents)  # HTML present
+    assert any(len(c) < 10 for c in contents)  # too-short present
+    assert any(c.count("\n") > 5 and len(set(c.split("\n"))) == 1 for c in contents)
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("corpus"))
+    write_corpus(d, n_files=400, seed=42, partitions=4)
+    return d
+
+
+def test_lineage_resume(spark, corpus_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("out"))
+    lin = str(tmp_path_factory.mktemp("lineage"))
+    source = TableIO(corpus_dir, partitions=4)
+    sink = TableIO(out + "/filtered", partitions=4)
+    log = LineageLog(lin + "/log")
+    cfg = PipelineConfig()
+
+    # first run dies after 2 partitions
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        run_partitioned(spark, source, sink, log, cfg, fail_after=2)
+    done = log.completed_partitions(spark, config_fingerprint(cfg))
+    assert len(done) == 2
+
+    # resume: skips the 2 completed, finishes the rest
+    summary = run_partitioned(spark, source, sink, log, cfg)
+    assert summary["skipped"] == 2
+    assert summary["processed"] == 2
+
+    # full table landed, every input row accounted for
+    result = spark.read.parquet(out + "/filtered")
+    n_in = spark.read.parquet(corpus_dir).count()
+    lineage_df = log.read(spark)
+    assert lineage_df.count() == 4
+    assert (
+        lineage_df.agg(F.sum("files_in")).collect()[0][0] == n_in
+    )
+    assert result.count() == lineage_df.agg(F.sum("files_out")).collect()[0][0]
+    # kept rows carry scrubbed content + sha
+    assert "scrubbed_sha256" in result.columns
+
+    # rerun with everything done: all skipped, idempotent
+    summary2 = run_partitioned(spark, source, sink, log, cfg)
+    assert summary2 == {"skipped": 4, "processed": 0, "files_in": 0, "files_out": 0}
+    assert result.count() == spark.read.parquet(out + "/filtered").count()
+
+    # drop-reason histograms are real JSON with nonzero drops
+    hists = [json.loads(r["drop_reason_histogram"]) for r in lineage_df.collect()]
+    total_drops = sum(v for h in hists for k, v in h.items() if k)
+    assert total_drops > 0
+
+    # metrics side table aggregates
+    m = metrics_table(spark, log).collect()[0]
+    assert m["files_in"] == n_in
+    assert m["n_partitions"] == 4
+    assert m["n_too_short"] > 0
+
+
+def test_config_fingerprint_changes_rerun(spark, corpus_dir, tmp_path_factory):
+    cfg1 = PipelineConfig()
+    from textpipe_spark.kernel.rules import RuleConfig
+
+    cfg2 = PipelineConfig(rules=RuleConfig(min_chars=64))
+    assert config_fingerprint(cfg1) != config_fingerprint(cfg2)

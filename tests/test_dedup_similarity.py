@@ -1,0 +1,85 @@
+"""Dedup (exact / MinHash LSH / SimHash) and similarity-search tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from textpipe_spark import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def dup_df(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base + " with a tiny suffix change"),  # near dup of 0
+        (3, "completely different content about spark partitions and shuffles"),
+        (4, "another unrelated document mentioning joins aggregates and windows"),
+        (5, base.replace("dog", "cat")),  # near dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(dup_df):
+    out = dedup.exact_dedup(dup_df, "text", "doc_id")
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 0 in ids and 1 not in ids  # keep-first
+    assert {2, 3, 4, 5} <= ids  # near-dups survive exact dedup
+
+
+def test_minhash_lsh_pairs(dup_df):
+    pairs = dedup.minhash_lsh_pairs(dup_df, "text", "doc_id", threshold=0.5)
+    got = {(r["id1"], r["id2"]): r["jaccard_est"] for r in pairs.collect()}
+    assert (0, 1) in got and got[(0, 1)] == 1.0
+    assert any(p in got for p in [(0, 2), (0, 5)])  # near dups found
+    assert (3, 4) not in got
+
+
+def test_minhash_dedup_keep_first(dup_df):
+    out = dedup.minhash_dedup(dup_df, "text", "doc_id", threshold=0.9)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 0 in ids and 1 not in ids
+    assert 3 in ids and 4 in ids
+
+
+def test_simhash_pairs(dup_df):
+    pairs = dedup.simhash_near_dup_pairs(dup_df, "text", "doc_id", max_hamming=10)
+    got = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    assert (0, 1) in got
+    assert (3, 4) not in got
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_brute_force_topk(spark, emb):
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    top = similarity.brute_force_topk(emb, q, k=5).collect()
+    assert len(top) == 5
+    assert top[0]["vec_id"] == 0  # self-similarity = 1.0 first
+    assert top[0]["cosine"] == pytest.approx(1.0, abs=1e-9)
+    cosines = [r["cosine"] for r in top]
+    assert cosines == sorted(cosines, reverse=True)
+
+
+def test_lsh_topk_recall(spark, emb):
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    exact = {r["vec_id"] for r in similarity.brute_force_topk(emb, q, k=10).collect()}
+    approx_rows = similarity.lsh_topk(emb, q, dim=64, k=10, bits=4).collect()
+    approx = {r["vec_id"] for r in approx_rows}
+    assert 0 in approx  # query's own bucket contains itself
+    # LSH returns a subset of the corpus scored correctly; recall sanity
+    assert len(approx & exact) >= 3
+
+
+def test_knn_join_label(spark, emb):
+    queries = (
+        emb.where(F.col("vec_id") < 3)
+        .select(F.col("vec_id"), F.col("embedding").alias("qvec"))
+    )
+    out = similarity.knn_join_label(emb, queries, k=5).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["knn_label"] is not None and r["votes"] >= 1

@@ -1,0 +1,52 @@
+"""Multimodal plumbing + structured-streaming pipeline tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from textpipe_spark import multimodal
+from textpipe_spark.pipeline import PipelineConfig
+from textpipe_spark import streaming as tps_streaming
+
+
+def test_multimodal_features(spark, documents):
+    media = multimodal.media_from_documents(documents.limit(50))
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert len(r["feature"]) == 8
+        assert all(0.0 <= x <= 1.0 for x in r["feature"])
+        assert len(r["payload_sha256"]) == 64
+    # deterministic across runs
+    again = {r["media_id"]: r["feature"] for r in feats.collect()}
+    for r in rows:
+        assert again[r["media_id"]] == r["feature"]
+
+
+def test_streaming_matches_batch(spark, tmp_path_factory):
+    from make_corpus import write_corpus
+    from textpipe_spark.pipeline import build
+
+    src = str(tmp_path_factory.mktemp("stream_src"))
+    write_corpus(src, n_files=150, seed=7, partitions=2)
+
+    out = str(tmp_path_factory.mktemp("stream_out"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+
+    cfg = PipelineConfig()
+    stream = tps_streaming.stream_code_files(
+        spark, src + "/part_id=0", max_files_per_trigger=1
+    )
+    filtered = tps_streaming.filtered_stream(stream, cfg)
+    q = tps_streaming.write_filtered(filtered, out, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    batch_df = spark.read.parquet(src + "/part_id=0").select(
+        "repo", "path", "commit", "lang", "content"
+    )
+    want = build(batch_df, cfg).where(F.col("keep"))
+    assert got.count() == want.count()
+    g = {(r["repo"], r["path"]): r["scrubbed_sha256"] for r in got.collect()}
+    w = {(r["repo"], r["path"]): r["scrubbed_sha256"] for r in want.collect()}
+    assert g == w  # stream == batch, row for row

@@ -1,0 +1,83 @@
+"""TableIO seam — partitioned-parquet now, Iceberg catalog by config swap.
+
+The sandbox has no Iceberg jars (SURVEY.md §7 risk register), so the engine
+reads/writes parquet with an explicit ``part_id`` partition column — the
+same bucket-transform layout an Iceberg table of code_files would use
+(BASELINE.json input_hint). Swapping ``TableIO`` for an Iceberg catalog
+(``spark.read.table`` + ``overwritePartitions``) is a config change in one
+place; every operator upstream is layout-agnostic.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PART_COL = "part_id"
+
+
+@dataclass
+class TableIO:
+    """Reads/writes one logical table partitioned by PART_COL."""
+
+    root: str
+    partitions: int = 16
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.root)
+
+    def read_partition(self, spark: SparkSession, part_id: int) -> DataFrame:
+        # path-level partition pruning: only this partition's files are listed
+        return (
+            spark.read.option("basePath", self.root)
+            .parquet(f"{self.root}/{PART_COL}={part_id}")
+        )
+
+    def with_part_id(self, df: DataFrame, key_col: str = "repo") -> DataFrame:
+        """Iceberg bucket-transform stand-in; must match the generator's
+        layout when appending to an existing table."""
+        return df.withColumn(
+            PART_COL, F.pmod(F.hash(F.col(key_col)), F.lit(self.partitions))
+        )
+
+    def overwrite_partition(self, df: DataFrame, part_id: int) -> None:
+        """Idempotent per-partition overwrite (the parquet analogue of
+        Iceberg's replaceWhere / dynamic partition overwrite)."""
+        (
+            df.write.mode("overwrite").parquet(
+                f"{self.root}/{PART_COL}={part_id}"
+            )
+        )
+
+    def append(self, df: DataFrame) -> None:
+        df.write.mode("append").partitionBy(PART_COL).parquet(self.root)
+
+
+def spark_session(
+    app: str = "textpipe_spark",
+    cores: int | str = "*",
+    shuffle_partitions: int | None = None,
+    driver_mem: str = "8g",
+) -> SparkSession:
+    """Session with the scale-tuned defaults (AQE on, Arrow on, skew join
+    handling) — BASELINE.json:6 'explicit AQE shuffle tuning'."""
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cores == "*" else max(int(cores) * 2, 8)
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "5000")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )

