@@ -72,14 +72,18 @@ def test_lineage_resume(spark, corpus_dir, tmp_path_factory):
     assert (
         lineage_df.agg(F.sum("files_in")).collect()[0][0] == n_in
     )
-    assert result.count() == lineage_df.agg(F.sum("files_out")).collect()[0][0]
-    # kept rows carry scrubbed content + sha
+    # full labeled manifest written; kept-only view is a filter on the
+    # written keep column
+    assert result.count() == n_in
+    kept = result.where(F.col("keep"))
+    assert kept.count() == lineage_df.agg(F.sum("files_out")).collect()[0][0]
     assert "scrubbed_sha256" in result.columns
+    assert "content" not in result.columns and "clean" not in result.columns
 
     # rerun with everything done: all skipped, idempotent
     summary2 = run_partitioned(spark, source, sink, log, cfg)
     assert summary2 == {"skipped": 4, "processed": 0, "files_in": 0, "files_out": 0}
-    assert result.count() == spark.read.parquet(out + "/filtered").count()
+    assert n_in == spark.read.parquet(out + "/filtered").count()
 
     # drop-reason histograms are real JSON with nonzero drops
     hists = [json.loads(r["drop_reason_histogram"]) for r in lineage_df.collect()]

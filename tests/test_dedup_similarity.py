@@ -28,7 +28,9 @@ def test_exact_dedup(dup_df):
 
 
 def test_minhash_lsh_pairs(dup_df):
-    pairs = dedup.minhash_lsh_pairs(dup_df, "text", "doc_id", threshold=0.5)
+    # bands=32 (4 rows/band) so the LSH candidate probability is ~1 at the
+    # low 0.5 threshold this test probes (default 16×8 targets ~0.8)
+    pairs = dedup.minhash_lsh_pairs(dup_df, "text", "doc_id", threshold=0.5, bands=32)
     got = {(r["id1"], r["id2"]): r["jaccard_est"] for r in pairs.collect()}
     assert (0, 1) in got and got[(0, 1)] == 1.0
     assert any(p in got for p in [(0, 2), (0, 5)])  # near dups found

@@ -59,7 +59,10 @@ def test_parity_stats(fixture_rows):
             assert g[k] == w[k], f"doc {i} {k}: {g[k]} != {w[k]}"
         for k in ("complexity", "nonprintable_ratio", "repeated_line_fraction",
                   "mean_word_length"):
-            assert g[k] == pytest.approx(w[k], abs=1e-9), f"doc {i} {k}"
+            if w[k] is None:
+                assert g[k] is None, f"doc {i} {k}: {g[k]} != None"
+            else:
+                assert g[k] == pytest.approx(w[k], abs=1e-9), f"doc {i} {k}"
 
 
 def test_parity_langid(fixture_rows):

@@ -49,31 +49,33 @@ def minhash_lsh_pairs(
     signature (one UDF pass) → explode band hashes → self-join per band →
     distinct candidates → verify with native array compare (no Python).
     """
-    sig = with_minhash(df.select(id_col, text_col), text_col)
+    sig = with_minhash(df.select(id_col, text_col), text_col).select(
+        id_col, "minhash"
+    )
+    # band join carries ONLY (id, band) — the 128-int signatures rejoin
+    # after pair dedup, so the shuffled band rows stay ~16 bytes each.
     banded = sig.select(
         F.col(id_col),
-        F.col("minhash"),
         F.posexplode(udfs.lsh_bands_col(F.col("minhash"), bands)).alias(
             "band_idx", "band_hash"
         ),
     )
-    left = banded.select(
-        F.col(id_col).alias("id1"),
-        F.col("minhash").alias("mh1"),
-        "band_idx",
-        "band_hash",
-    )
-    right = banded.select(
-        F.col(id_col).alias("id2"),
-        F.col("minhash").alias("mh2"),
-        "band_idx",
-        "band_hash",
-    )
-    cands = (
+    left = banded.select(F.col(id_col).alias("id1"), "band_idx", "band_hash")
+    right = banded.select(F.col(id_col).alias("id2"), "band_idx", "band_hash")
+    cand_ids = (
         left.join(right, ["band_idx", "band_hash"])
         .where(F.col("id1") < F.col("id2"))
-        .select("id1", "id2", "mh1", "mh2")
+        .select("id1", "id2")
         .dropDuplicates(["id1", "id2"])
+    )
+    cands = (
+        cand_ids.join(
+            sig.select(F.col(id_col).alias("id1"), F.col("minhash").alias("mh1")),
+            "id1",
+        ).join(
+            sig.select(F.col(id_col).alias("id2"), F.col("minhash").alias("mh2")),
+            "id2",
+        )
     )
     # verify: estimated Jaccard = fraction of equal signature positions
     est = (

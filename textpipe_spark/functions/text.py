@@ -150,17 +150,43 @@ def decision_struct_col(
     lang: Column,
     scrub_hits: Column,
     cfg: krules.RuleConfig,
+    *,
+    nwords: Column | None = None,
+    nonprintable_ratio: Column | None = None,
+    repeated_line_fraction: Column | None = None,
+    mean_word_length: Column | None = None,
 ) -> Column:
     """The rule cascade (kernel ``rules.decide``): struct<keep boolean,
-    drop_reason string>. First failing rule names the reason ('' on keep)."""
+    drop_reason string>. First failing rule names the reason ('' on keep).
+
+    Pass precomputed stat columns when available (the pipeline builder
+    does) — otherwise each rule recomputes its regex scan. CASE evaluation
+    is lazy per row, so cheap rules short-circuit expensive ones either way.
+    """
     n = F.length(raw)
+    nw = nwords if nwords is not None else nwords_col(clean)
+    np_ = (
+        nonprintable_ratio
+        if nonprintable_ratio is not None
+        else nonprintable_ratio_col(raw)
+    )
+    rl = (
+        repeated_line_fraction
+        if repeated_line_fraction is not None
+        else repeated_line_fraction_col(raw)
+    )
+    mwl = (
+        mean_word_length
+        if mean_word_length is not None
+        else mean_word_length_col(clean)
+    )
     checks: list[tuple[str, Column]] = [
         ("too_short", n < cfg.min_chars),
         ("too_long", n > cfg.max_chars),
-        ("too_few_words", nwords_col(clean) < cfg.min_words),
-        ("nonprintable", nonprintable_ratio_col(raw) > cfg.max_nonprintable_ratio),
-        ("repeated_lines", repeated_line_fraction_col(raw) > cfg.max_repeated_line_fraction),
-        ("long_words", mean_word_length_col(clean) > cfg.max_mean_word_length),
+        ("too_few_words", nw < cfg.min_words),
+        ("nonprintable", np_ > cfg.max_nonprintable_ratio),
+        ("repeated_lines", rl > cfg.max_repeated_line_fraction),
+        ("long_words", mwl > cfg.max_mean_word_length),
     ]
     if cfg.allowed_langs:
         checks.append(("lang_not_allowed", ~lang.isin(*cfg.allowed_langs)))

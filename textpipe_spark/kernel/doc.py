@@ -24,6 +24,40 @@ from . import tokenize as _tok
 
 def process(raw: str, cfg: _rules.RuleConfig | None = None, hint_lang: str | None = None) -> dict:
     cfg = cfg or _rules.RuleConfig()
+    n = len(raw or "")
+    if n < cfg.min_chars or n > cfg.max_chars:
+        # Length pre-gate early-out — mirrors the Spark pipeline's
+        # F.when(len_ok, ...) gating exactly: the decision comes from
+        # length alone, derived columns are NULL, and model UDFs (which
+        # coerce NULL input to '') score the empty string.
+        lang_m, conf_m, reliable_m = _langid.get_model().score("", hint_lang)
+        return {
+            "clean": None,
+            "lang": None,
+            "lang_reliable": None,
+            "lang_model": lang_m,
+            "lang_model_conf": conf_m,
+            "lang_model_reliable": reliable_m,
+            "nwords": None,
+            "nsents": None,
+            "nsyllables": None,
+            "ntokens_bpe": None,
+            "complexity": None,
+            "nonprintable_ratio": None,
+            "repeated_line_fraction": None,
+            "mean_word_length": None,
+            "perplexity": _lm.get_lm().perplexity(""),
+            "polarity": None,
+            "subjectivity": None,
+            "scrubbed": None,
+            "scrub_counts": None,
+            "scrub_hits": None,
+            "keep": False,
+            "drop_reason": "too_short" if n < cfg.min_chars else "too_long",
+            "scrubbed_sha256": None,
+            "minhash": _minhash.minhash_text(""),
+            "simhash": 0,
+        }
     cleaned = _clean.clean_text(raw)
     lang_sw, reliable_sw = _langid.detect_stopwords(cleaned, hint_lang)
     lang_m, conf_m, reliable_m = _langid.get_model().score(cleaned, hint_lang)

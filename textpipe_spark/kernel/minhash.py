@@ -62,8 +62,22 @@ def minhash_signature(tokens: list[str], num_perm: int = NUM_PERM) -> list[int]:
     return phv.min(axis=0).astype(np.uint32).tolist()
 
 
-def minhash_text(text: str, num_perm: int = NUM_PERM) -> list[int]:
-    return minhash_signature(_WORD.findall(text or ""), num_perm)
+SHINGLE_K = 3
+
+
+def shingles(text: str, k: int = SHINGLE_K) -> list[str]:
+    """Word k-gram shingles (lowercased); docs with < k tokens fall back to
+    the whole token sequence. Shingling (not unigrams) is what makes
+    MinHash near-dup detection discriminative — unigram token sets of a
+    small vocabulary are near-identical for unrelated docs."""
+    toks = [t.lower() for t in _WORD.findall(text or "")]
+    if len(toks) < k:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+
+def minhash_text(text: str, num_perm: int = NUM_PERM, k: int = SHINGLE_K) -> list[int]:
+    return minhash_signature(shingles(text, k), num_perm)
 
 
 def jaccard_estimate(sig1: list[int], sig2: list[int]) -> float:

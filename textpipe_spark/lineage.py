@@ -103,13 +103,19 @@ def run_partitioned(
         df = source.read_partition(spark, part)
         df = salted_repartition(df, cfg)
         out = build(df, cfg)
-        kept = out.where(F.col("keep")).drop("keep", "drop_reason", "clean")
-        files_in = out.count()
-        hist = drop_reason_histogram(out)
-        sink.overwrite_partition(kept.withColumn(PART_COL, F.lit(part)), part)
-        files_out = files_in - sum(
-            v for k, v in hist.items() if k
-        )
+        # Write the full labeled manifest (content/clean pruned), NOT a
+        # where(keep) subset: a keep-filter would be pushed below the
+        # projection and re-evaluate the whole regex cascade twice.
+        # Kept-only consumers filter on the WRITTEN keep column — a plain
+        # parquet predicate pushdown.
+        labeled = out.drop("clean", cfg.raw_col)
+        sink.overwrite_partition(labeled.withColumn(PART_COL, F.lit(part)), part)
+        # lineage stats come from the WRITTEN parquet (column-pruned
+        # re-read) — the pipeline itself runs exactly once per partition
+        written = sink.read_partition(spark, part).select("drop_reason")
+        hist = drop_reason_histogram(written)
+        files_in = sum(hist.values())
+        files_out = files_in - sum(v for k, v in hist.items() if k)
         wall_ms = int((time.monotonic() - t0) * 1000)
         lineage.append(
             spark,

@@ -74,8 +74,20 @@ class PipelineConfig:
 StepFn = Callable[[DataFrame, PipelineConfig], dict]
 
 
+def _len_ok(cfg: PipelineConfig):
+    """Cheap length pre-gate: rows failing min/max chars are decided by
+    length alone, so every expensive regex/model column is skipped for them
+    (NULL). At 100 TB this is the difference between scanning a 1.5 MB
+    minified blob 30+ times and scanning it zero times. The kernel
+    (kernel/doc.py) applies the identical early-out, so parity is exact."""
+    n = F.length(F.col(cfg.raw_col))
+    return (n >= cfg.rules.min_chars) & (n <= cfg.rules.max_chars)
+
+
 def _step_clean(df: DataFrame, cfg: PipelineConfig) -> dict:
-    return {"clean": X.clean_col(F.col(cfg.raw_col))}
+    return {
+        "clean": F.when(_len_ok(cfg), X.clean_col(F.col(cfg.raw_col)))
+    }
 
 
 def _step_langid(df: DataFrame, cfg: PipelineConfig) -> dict:
@@ -89,12 +101,13 @@ def _step_langid_model(df: DataFrame, cfg: PipelineConfig) -> dict:
 
 def _step_token_stats(df: DataFrame, cfg: PipelineConfig) -> dict:
     clean = F.col("clean")
+    gate = _len_ok(cfg)
     return {
         "nwords": X.nwords_col(clean),
         "nsents": X.nsents_col(clean),
         "nsyllables": X.nsyllables_col(clean),
-        "nonprintable_ratio": X.nonprintable_ratio_col(F.col(cfg.raw_col)),
-        "repeated_line_fraction": X.repeated_line_fraction_col(F.col(cfg.raw_col)),
+        "nonprintable_ratio": F.when(gate, X.nonprintable_ratio_col(F.col(cfg.raw_col))),
+        "repeated_line_fraction": F.when(gate, X.repeated_line_fraction_col(F.col(cfg.raw_col))),
         "mean_word_length": X.mean_word_length_col(clean),
     }
 
@@ -121,6 +134,13 @@ def _step_minhash(df: DataFrame, cfg: PipelineConfig) -> dict:
 
 
 def _step_decide(df: DataFrame, cfg: PipelineConfig) -> dict:
+    # reuse stat columns computed by the token_stats step when present —
+    # otherwise the cascade recomputes each regex scan inside the CASE
+    stats = {}
+    for k in ("nwords", "nonprintable_ratio", "repeated_line_fraction",
+              "mean_word_length"):
+        if k in df.columns:
+            stats[k] = F.col(k)
     return {
         "_decision": X.decision_struct_col(
             F.col(cfg.raw_col),
@@ -128,6 +148,7 @@ def _step_decide(df: DataFrame, cfg: PipelineConfig) -> dict:
             F.col("_lid.lang"),
             F.col("_scrub.total_hits"),
             cfg.rules,
+            **stats,
         )
     }
 

@@ -1,0 +1,116 @@
+"""Scaling-efficiency evidence for the north_rule's N vs 4N criterion.
+
+No real cluster exists in this sandbox, so per the driver instruction the
+same flagship job runs at two parallelism levels — local[8] (N) and
+local[32] (4N) — on the same generated corpus, in SEPARATE JVMs (one
+subprocess per level so executor-thread counts are honest). Reports
+files/sec at both plus efficiency = (rate_4N / rate_N) / 4, and writes
+BENCH/BASELINE.md.
+
+Usage: python tools/bench_scaling.py [n_files] [repeats]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from textpipe_spark.io import spark_session
+from textpipe_spark.pipeline import PipelineConfig, build
+spark = spark_session(app="bench_scaling", cores={cores})
+spark.sparkContext.setLogLevel("ERROR")
+spark.conf.set("spark.sql.files.maxPartitionBytes", str(256 * 1024))
+spark.conf.set("spark.sql.files.openCostInBytes", "0")
+from pyspark.sql import functions as F
+df = spark.read.parquet({corpus!r}).select("repo","path","commit","lang","content")
+cfg = PipelineConfig(raw_col="content")
+def job():
+    out = build(df, cfg)
+    labeled = out.select(
+        "repo","path","commit","lang","nwords","keep","drop_reason",
+        "scrubbed","scrubbed_sha256")
+    labeled.write.format("noop").mode("overwrite").save()
+job()  # warm-up: JVM JIT + codegen excluded from the measurement
+walls = []
+for _ in range({repeats}):
+    t0 = time.monotonic()
+    job()
+    walls.append(time.monotonic() - t0)
+print("RESULT " + json.dumps({{"cores": {cores}, "walls": walls}}))
+spark.stop()
+"""
+
+
+def run_level(cores: int, corpus: str, repeats: int) -> dict:
+    code = CHILD.format(repo=REPO, cores=cores, corpus=corpus, repeats=repeats)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"no result at cores={cores}:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 40000
+    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    os.environ["SPARK_GRAFT_BENCH_FILES"] = str(n_files)
+    sys.path.insert(0, REPO)
+    import bench
+
+    n_rows = bench.ensure_corpus()
+    corpus = bench.CORPUS_DIR
+
+    results = {}
+    for cores in (8, 32):
+        r = run_level(cores, corpus, repeats)
+        best = min(r["walls"])
+        results[cores] = {
+            "walls": [round(w, 2) for w in r["walls"]],
+            "best_wall_s": round(best, 2),
+            "files_per_sec": round(n_rows / best, 1),
+        }
+        print(f"local[{cores}]: best {best:.2f}s = {n_rows/best:.0f} files/s  (all: {r['walls']})")
+
+    eff = (results[32]["files_per_sec"] / results[8]["files_per_sec"]) / 4.0
+    print(f"scaling efficiency (N=8 vs 4N=32): {eff:.2f}")
+
+    md = f"""# BENCH — measured baseline (this host: 32 cores)
+
+Flagship keep/drop + scrub pipeline over the deterministic synthetic
+code_files corpus ({n_rows} files, seed=42, 16 partitions), best of
+{repeats} timed runs after a warm-up pass, separate JVM per level.
+
+| parallelism | best wall (s) | files/sec |
+| --- | --- | --- |
+| local[8]  (N)  | {results[8]['best_wall_s']} | {results[8]['files_per_sec']} |
+| local[32] (4N) | {results[32]['best_wall_s']} | {results[32]['files_per_sec']} |
+
+**Scaling efficiency (rate_4N / rate_N) / 4 = {eff:.2f}** (gate: >= 0.8
+per BASELINE.json; sandbox proxy for N vs 4N executor clusters per the
+driver instruction — no real cluster available here).
+
+All runs: local[8] {results[8]['walls']}, local[32] {results[32]['walls']}.
+Correctness context: Spark output is row-for-row sha256-identical to the
+pure-Python kernel labels (tests/test_spark_parity.py), i.e. F1 = 1.0.
+"""
+    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as fh:
+        fh.write(md)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as fh:
+        json.dump({"n_files": n_rows, "results": results, "efficiency": round(eff, 3)}, fh, indent=2)
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()
