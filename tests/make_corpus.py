@@ -62,6 +62,7 @@ PII_BITS = [
 TOX_BITS = ["# fuck this broken build", "// what a shitty hack"]
 EXTS = [".py", ".js", ".c", ".md", ".html", ".go", ".java", ".rs"]
 
+GEN_VERSION = 3
 GIANT_REPO = "bigorg/monorepo"
 
 
@@ -91,8 +92,16 @@ def _content(rng: random.Random) -> tuple[str, str]:
             ch + ("\x03" if rng.random() < 0.15 else "") for ch in base
         )
         return claimed, noisy
-    if kind < 0.145:  # too long
-        return claimed, "\n".join(rng.choices(CODE_LINES, k=200)) * 300
+    if kind < 0.133:  # too long (> max_chars -> length-gated drop)
+        return claimed, "\n".join(rng.choices(CODE_LINES, k=200)) * 250
+    if kind < 0.145:  # large but valid (~40-120 KB, fully processed)
+        body = []
+        for _ in range(rng.randint(1500, 4000)):
+            if rng.random() < 0.7:
+                body.append(rng.choice(CODE_LINES))
+            else:
+                body.append("# " + " ".join(rng.choices(LANG_WORDS[lang], k=8)))
+        return claimed, "\n".join(body)
     for _ in range(n_lines):
         roll = rng.random()
         if roll < 0.45:
@@ -152,7 +161,11 @@ def write_corpus(out_dir: str, n_files: int = 2000, seed: int = 42, partitions: 
             "part_id": [part_id(r[0]) for r in rows],
         }
     )
-    pq.write_to_dataset(table, root_path=out_dir, partition_cols=["part_id"])
+    # small row groups: scan parallelism = #row-groups; one fat row group
+    # per file would serialise the whole bench on 16 tasks
+    pq.write_to_dataset(
+        table, root_path=out_dir, partition_cols=["part_id"], row_group_size=256
+    )
     return len(rows)
 
 

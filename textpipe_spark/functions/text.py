@@ -98,13 +98,22 @@ def stopword_count_col(clean: Column, lang: str) -> Column:
 
 def langid_struct_col(clean: Column, hint: Column | None = None) -> Column:
     """Stopword-argmax language detector (kernel ``langid.detect_stopwords``):
-    struct<lang string, reliable boolean>. Ties break by LANG_ORDER."""
+    struct<lang string, reliable boolean>. Ties break by LANG_ORDER.
+
+    One-shot form (each count expression appears several times in the
+    argmax); the pipeline builder materialises counts first and calls
+    ``langid_decide_col`` so each regex runs once."""
     counts = {lg: stopword_count_col(clean, lg) for lg in klangid.LANG_ORDER}
     if hint is not None:
         counts = {
             lg: counts[lg] + F.when(hint == lg, 1).otherwise(0)
             for lg in klangid.LANG_ORDER
         }
+    return langid_decide_col(counts)
+
+
+def langid_decide_col(counts: dict[str, Column]) -> Column:
+    """argmax + reliability over precomputed per-language count columns."""
     # argmax with first-in-LANG_ORDER tie-break
     best = None
     for lg in reversed(klangid.LANG_ORDER):

@@ -71,7 +71,13 @@ class PipelineConfig:
             return cls.from_json(fh.read())
 
 
-StepFn = Callable[[DataFrame, PipelineConfig], dict]
+# A step transforms the DataFrame (usually one or more withColumns
+# projections). Steps that need an intermediate column to be computed ONCE
+# emit it in its own projection: Catalyst's CollapseProject keeps a
+# non-cheap alias referenced more than once as a separate Project, which is
+# the engine's compute-once guarantee (expression-level CSE does NOT apply
+# under conditional branches like the length gate).
+StepFn = Callable[[DataFrame, PipelineConfig], DataFrame]
 
 
 def _len_ok(cfg: PipelineConfig):
@@ -84,56 +90,110 @@ def _len_ok(cfg: PipelineConfig):
     return (n >= cfg.rules.min_chars) & (n <= cfg.rules.max_chars)
 
 
-def _step_clean(df: DataFrame, cfg: PipelineConfig) -> dict:
-    return {
-        "clean": F.when(_len_ok(cfg), X.clean_col(F.col(cfg.raw_col)))
+def _step_clean(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    return df.withColumn(
+        "clean", F.when(_len_ok(cfg), X.clean_col(F.col(cfg.raw_col)))
+    )
+
+
+def _step_langid(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    # stopword counts materialise first (each regex runs once); the argmax/
+    # reliability projection then works on cheap int attributes
+    from .kernel import langid as klangid
+
+    counts = {
+        f"_sw_{lg}": X.stopword_count_col(F.col("clean"), lg)
+        for lg in klangid.LANG_ORDER
     }
-
-
-def _step_langid(df: DataFrame, cfg: PipelineConfig) -> dict:
+    df = df.withColumns(counts)
     hint = F.col(cfg.hint_lang_col) if cfg.hint_lang_col else None
-    return {"_lid": X.langid_struct_col(F.col("clean"), hint)}
+    cnt_cols = {lg: F.col(f"_sw_{lg}") for lg in klangid.LANG_ORDER}
+    if hint is not None:
+        cnt_cols = {
+            lg: cnt_cols[lg] + F.when(hint == lg, 1).otherwise(0)
+            for lg in klangid.LANG_ORDER
+        }
+    return df.withColumn(
+        "_lid", X.langid_decide_col(cnt_cols)
+    ).drop(*counts.keys())
 
 
-def _step_langid_model(df: DataFrame, cfg: PipelineConfig) -> dict:
-    return {"_lid_model": udfs.langid_model_udf(F.col("clean"))}
+def _step_langid_model(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    return df.withColumn("_lid_model", udfs.langid_model_udf(F.col("clean")))
 
 
-def _step_token_stats(df: DataFrame, cfg: PipelineConfig) -> dict:
+def _step_token_stats(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     clean = F.col("clean")
     gate = _len_ok(cfg)
-    return {
-        "nwords": X.nwords_col(clean),
-        "nsents": X.nsents_col(clean),
-        "nsyllables": X.nsyllables_col(clean),
-        "nonprintable_ratio": F.when(gate, X.nonprintable_ratio_col(F.col(cfg.raw_col))),
-        "repeated_line_fraction": F.when(gate, X.repeated_line_fraction_col(F.col(cfg.raw_col))),
-        "mean_word_length": X.mean_word_length_col(clean),
-    }
+    return df.withColumns(
+        {
+            "nwords": X.nwords_col(clean),
+            "nsents": X.nsents_col(clean),
+            "nsyllables": X.nsyllables_col(clean),
+            "nonprintable_ratio": F.when(
+                gate, X.nonprintable_ratio_col(F.col(cfg.raw_col))
+            ),
+            "repeated_line_fraction": F.when(
+                gate, X.repeated_line_fraction_col(F.col(cfg.raw_col))
+            ),
+            "mean_word_length": X.mean_word_length_col(clean),
+        }
+    )
 
 
-def _step_complexity(df: DataFrame, cfg: PipelineConfig) -> dict:
+def _step_complexity(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     # references the token_stats columns — each regex count computed once
-    return {
-        "complexity": X.flesch_col(
-            F.col("nwords"), F.col("nsents"), F.col("nsyllables")
+    return df.withColumn(
+        "complexity",
+        X.flesch_col(F.col("nwords"), F.col("nsents"), F.col("nsyllables")),
+    )
+
+
+def _step_perplexity(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    return df.withColumn("perplexity", udfs.perplexity_udf(F.col("clean")))
+
+
+def _step_scrub(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Sequential scrub chain as chained projections: each text state t_i is
+    a materialised column consumed by exactly two expressions (the next
+    count and the next replace), so every pattern scans the text ONCE for
+    the count and once for the replace — O(k) passes, not the O(k^2) a
+    single nested struct expression would cost."""
+    from .kernel import scrub as kscrub
+
+    prev = "clean"
+    hit_names = []
+    for i, (name, pat, rep) in enumerate(kscrub.SCRUB_STEPS):
+        cur = f"_scrub_t{i}"
+        df = df.withColumns(
+            {
+                f"_{name}_hits": F.regexp_count(F.col(prev), F.lit(pat)),
+                cur: F.regexp_replace(F.col(prev), pat, rep),
+            }
         )
-    }
+        if prev != "clean":
+            df = df.drop(prev)
+        hit_names.append(f"_{name}_hits")
+        prev = cur
+    total = None
+    for h in hit_names:
+        total = F.col(h) if total is None else total + F.col(h)
+    df = df.withColumn(
+        "_scrub",
+        F.struct(
+            F.col(prev).alias("text"),
+            *[F.col(h).alias(h[1:]) for h in hit_names],
+            total.alias("total_hits"),
+        ),
+    )
+    return df.drop(prev, *hit_names)
 
 
-def _step_perplexity(df: DataFrame, cfg: PipelineConfig) -> dict:
-    return {"perplexity": udfs.perplexity_udf(F.col("clean"))}
+def _step_minhash(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    return df.withColumn("minhash", udfs.minhash_udf(F.col("clean")))
 
 
-def _step_scrub(df: DataFrame, cfg: PipelineConfig) -> dict:
-    return {"_scrub": X.scrub_struct_col(F.col("clean"))}
-
-
-def _step_minhash(df: DataFrame, cfg: PipelineConfig) -> dict:
-    return {"minhash": udfs.minhash_udf(F.col("clean"))}
-
-
-def _step_decide(df: DataFrame, cfg: PipelineConfig) -> dict:
+def _step_decide(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     # reuse stat columns computed by the token_stats step when present —
     # otherwise the cascade recomputes each regex scan inside the CASE
     stats = {}
@@ -141,16 +201,17 @@ def _step_decide(df: DataFrame, cfg: PipelineConfig) -> dict:
               "mean_word_length"):
         if k in df.columns:
             stats[k] = F.col(k)
-    return {
-        "_decision": X.decision_struct_col(
+    return df.withColumn(
+        "_decision",
+        X.decision_struct_col(
             F.col(cfg.raw_col),
             F.col("clean"),
             F.col("_lid.lang"),
             F.col("_scrub.total_hits"),
             cfg.rules,
             **stats,
-        )
-    }
+        ),
+    )
 
 
 OPERATIONS: dict[str, StepFn] = {
@@ -181,7 +242,7 @@ def build(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
             fn = OPERATIONS[step]
         except KeyError as exc:
             raise KeyError(f"unknown pipeline operation: {step!r}") from exc
-        df = df.withColumns(fn(df, cfg))
+        df = fn(df, cfg)
     # flatten the structs into the public schema
     flat = {}
     if "_lid" in df.columns:
