@@ -21,10 +21,16 @@ from ..kernel import tokenize as ktok
 
 def clean_col(raw: Column) -> Column:
     """The full clean chain (kernel ``clean.clean_text``) as nested
-    ``regexp_replace`` — one codegen'd expression, no shuffle, no Python."""
+    ``regexp_replace``/``replace`` — one codegen'd expression, no shuffle,
+    no Python. Literal steps use F.replace (byte-level on UTF8String; the
+    regex engine's UTF-16 String round-trip is the top GC source at scale).
+    """
     col = raw
-    for pat, rep in kclean.CLEAN_STEPS:
-        col = F.regexp_replace(col, pat, rep)
+    for kind, pat, rep in kclean.CLEAN_STEPS:
+        if kind == "lit":
+            col = F.replace(col, F.lit(pat), F.lit(rep))
+        else:
+            col = F.regexp_replace(col, pat, rep)
     return F.trim(col)
 
 

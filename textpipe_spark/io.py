@@ -78,6 +78,10 @@ def spark_session(
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", driver_mem)
+        # throughput collector: the regex-heavy pipeline allocates hard
+        # (UTF8String<->String round-trips); ParallelGC beat G1 by ~25% wall
+        # on the bench corpus
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -6,4 +6,16 @@ BASELINE.json). Each module doubles as the single source of regex/threshold
 constants consumed by the Spark column builders AND the DuckDB oracle SQL.
 """
 
-from . import clean, emoji, langid, lm, minhash, rules, scrub, sentiment, tokenize  # noqa: F401
+from . import (  # noqa: F401
+    clean,
+    emoji,
+    langid,
+    lm,
+    minhash,
+    rules,
+    scrub,
+    sentiment,
+    textrank,
+    tokenize,
+    vectors,
+)

@@ -54,19 +54,30 @@ RE_DOTS = "…"                       # '…' -> '...'
 RE_SINGLE_QUOTES = "[`‘’‛⸂⸃⸌⸍⸜⸝]"
 RE_DOUBLE_QUOTES = "[„“]|('')|(,,)"
 
-# Ordered (pattern, replacement) chain — ORDER IS SEMANTICS.
-CLEAN_STEPS: list[tuple[str, str]] = (
-    [(RE_HTML_COMMENT, ""), (RE_HTML_SCRIPT, ""), (RE_HTML_TAG, "")]
-    + [(re.escape(ent), rep) for ent, rep in HTML_ENTITIES]
+# Ordered (kind, pattern, replacement) chain — ORDER IS SEMANTICS.
+# kind 'lit' steps are plain substring replacements: Spark runs them as
+# F.replace on UTF8String bytes (no regex engine, no UTF-16 String garbage
+# — the clean chain is the hottest path at corpus scale), DuckDB as
+# replace(), Python as str.replace. 're' steps go through the regex engines.
+CLEAN_STEPS: list[tuple[str, str, str]] = (
+    [
+        ("re", RE_HTML_COMMENT, ""),
+        ("re", RE_HTML_SCRIPT, ""),
+        ("re", RE_HTML_TAG, ""),
+    ]
+    + [("lit", ent, rep) for ent, rep in HTML_ENTITIES]
     + [
-        (RE_DOTS, "..."),
-        (RE_SINGLE_QUOTES, "'"),
-        (RE_DOUBLE_QUOTES, '"'),
-        (RE_WHITESPACE, " "),
+        ("lit", RE_DOTS, "..."),
+        ("re", RE_SINGLE_QUOTES, "'"),
+        ("re", RE_DOUBLE_QUOTES, '"'),
+        ("re", RE_WHITESPACE, " "),
     ]
 )
 
-_COMPILED = [(re.compile(p), r) for p, r in CLEAN_STEPS]
+_COMPILED = [
+    (kind, (re.compile(p) if kind == "re" else p), r)
+    for kind, p, r in CLEAN_STEPS
+]
 
 
 def clean_text(raw: str | None) -> str:
@@ -74,8 +85,11 @@ def clean_text(raw: str | None) -> str:
     if raw is None:
         return ""
     text = raw
-    for pat, rep in _COMPILED:
-        text = pat.sub(rep, text)
+    for kind, pat, rep in _COMPILED:
+        if kind == "lit":
+            text = text.replace(pat, rep)
+        else:
+            text = pat.sub(rep, text)
     return text.strip(" ")
 
 

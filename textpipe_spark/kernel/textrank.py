@@ -1,0 +1,84 @@
+"""TextRank kernels — keyterms and extractive summary.
+
+Reimplements the semantics of the reference's textacy keyterm ranking
+(``Keyterms``, textpipe ``operation.py:246-270`` / ``doc.py:405-454``) and
+gensim TextRank summary (``GensimTextRank``, ``operation.py:361-405`` /
+``doc.py:705-715``) with a plain numpy power iteration:
+
+* keyterms: PageRank over the word co-occurrence graph (window=2) of the
+  doc's tokens; top-n (term, score). Empty doc -> [] (doc.py:432-433);
+  unknown ranker -> ValueError (doc.py:435-437).
+* summary: PageRank over the sentence similarity graph (token-overlap /
+  length-normalised, the gensim variant); returns the top ``ratio`` of
+  sentences in document order; [] when uncompressible (doc.py:713-715).
+
+Deterministic: fixed damping/iterations, lexicographic tie-breaks.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+
+from .tokenize import RE_WORD, sentences as _sentences
+
+_WORD = re.compile(RE_WORD)
+
+DAMPING = 0.85
+ITERATIONS = 40
+RANKERS = ("textrank",)
+
+
+def _pagerank(adj: np.ndarray) -> np.ndarray:
+    n = adj.shape[0]
+    col_sums = adj.sum(axis=0)
+    col_sums[col_sums == 0] = 1.0
+    m = adj / col_sums
+    r = np.full(n, 1.0 / n)
+    for _ in range(ITERATIONS):
+        r = (1 - DAMPING) / n + DAMPING * (m @ r)
+    return r
+
+
+def keyterms(clean: str, n_terms: int = 10, ranker: str = "textrank") -> list[tuple[str, float]]:
+    if ranker not in RANKERS:
+        raise ValueError(f"invalid ranker: {ranker!r}")  # doc.py:435-437 parity
+    toks = [t.lower() for t in _WORD.findall(clean or "")]
+    toks = [t for t in toks if len(t) > 2 and not t.isdigit()]
+    if not toks:
+        return []
+    vocab = sorted(set(toks))
+    idx = {t: i for i, t in enumerate(vocab)}
+    adj = np.zeros((len(vocab), len(vocab)))
+    for a, b in zip(toks, toks[1:]):  # co-occurrence window = 2
+        if a != b:
+            adj[idx[a], idx[b]] += 1.0
+            adj[idx[b], idx[a]] += 1.0
+    scores = _pagerank(adj)
+    ranked = sorted(zip(vocab, scores), key=lambda kv: (-kv[1], kv[0]))
+    return [(t, round(float(s), 6)) for t, s in ranked[:n_terms]]
+
+
+def summary(clean: str, ratio: float = 0.2) -> list[str]:
+    sents = [s for s, _ in _sentences(clean or "")]
+    if len(sents) < 3:
+        return []  # uncompressible (doc.py:713-715 analogue)
+    sets = [frozenset(t.lower() for t in _WORD.findall(s)) for s in sents]
+    n = len(sents)
+    adj = np.zeros((n, n))
+    for i in range(n):
+        for j in range(i + 1, n):
+            if not sets[i] or not sets[j]:
+                continue
+            denom = math.log(len(sets[i]) + 1) + math.log(len(sets[j]) + 1)
+            if denom == 0:
+                continue
+            adj[i, j] = adj[j, i] = len(sets[i] & sets[j]) / denom
+    scores = _pagerank(adj)
+    k = max(1, int(n * ratio))
+    top = sorted(
+        sorted(range(n), key=lambda i: (-scores[i], i))[:k]
+    )  # top-k by rank, emitted in document order
+    return [sents[i] for i in top]

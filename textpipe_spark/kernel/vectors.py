@@ -1,0 +1,101 @@
+"""Word/document vector kernels.
+
+Fills the reference's vector slots without spaCy/gensim models:
+deterministic feature-hashed word vectors (the standard hashing trick)
+stand in for the embedding table, so ``WordVectors`` (textpipe
+``operation.py:293-317`` / ``doc.py:499-538``), ``DocumentVector``
+(``operation.py:320-338`` / ``doc.py:540-602``) and
+``GensimDocumentEmbedding`` (``operation.py:341-358`` / ``doc.py:641-703``)
+semantics — aggregation modes, idf weighting, OOV/empty behaviour — are all
+exercised end-to-end. A real embedding artifact drops in behind
+``word_vector`` without touching anything downstream.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import Counter
+
+import numpy as np
+
+from .langid import SEED_TEXT
+from .tokenize import RE_WORD
+
+_WORD = re.compile(RE_WORD)
+
+DIM = 16
+
+AGGREGATIONS = ("mean", "sum", "var")
+IDF_WEIGHTINGS = ("naive", "log")
+
+
+def word_vector(token: str, dim: int = DIM) -> np.ndarray:
+    """Deterministic unit-norm vector from the token's sha256 digest."""
+    h = hashlib.sha256(token.encode("utf-8")).digest()
+    rng = np.random.RandomState(np.frombuffer(h[:4], dtype=np.uint32))
+    v = rng.standard_normal(dim)
+    return v / np.linalg.norm(v)
+
+
+def document_vector(
+    clean: str, aggregation: str = "mean", dim: int = DIM
+) -> list[float]:
+    """Aggregate token vectors (reference ``DocumentVector``); unknown
+    aggregation -> NotImplementedError (doc.py:602 parity); [] for empty."""
+    if aggregation not in AGGREGATIONS:
+        raise NotImplementedError(f"aggregation {aggregation!r}")
+    toks = [t.lower() for t in _WORD.findall(clean or "")]
+    if not toks:
+        return []
+    mat = np.vstack([word_vector(t, dim) for t in toks])
+    if aggregation == "mean":
+        out = mat.mean(axis=0)
+    elif aggregation == "sum":
+        out = mat.sum(axis=0)
+    else:
+        out = mat.var(axis=0)
+    return [round(float(x), 6) for x in out]
+
+
+# train-corpus counts for idf (reference: gensim KeyedVectors count data,
+# doc.py:689-703); derived from the embedded seed corpus — deterministic
+_TRAIN_COUNTS: Counter = Counter(
+    t.lower() for text in SEED_TEXT.values() for t in _WORD.findall(text)
+)
+_N_TRAIN = sum(_TRAIN_COUNTS.values())
+
+
+def idf(token: str, weighting: str = "naive") -> float | None:
+    """naive: idf = count; log: log(N/(count+1)) + 1 (doc.py:694-697)."""
+    if weighting not in IDF_WEIGHTINGS:
+        raise ValueError(f"invalid idf weighting: {weighting!r}")
+    cnt = _TRAIN_COUNTS.get(token)
+    if cnt is None:
+        return None  # OOV — excluded, doc.py:678-679
+    if weighting == "naive":
+        return float(cnt)
+    return math.log(_N_TRAIN / (cnt + 1)) + 1.0
+
+
+def doc_embedding(
+    clean: str, weighting: str = "naive", lowercase: bool = True, dim: int = DIM
+) -> list[float]:
+    """Σ vec(word) * count / idf over in-vocab words (reference
+    ``GensimDocumentEmbedding``, doc.py:641-703); [] if nothing in vocab."""
+    toks = [
+        (t.lower() if lowercase else t) for t in _WORD.findall(clean or "")
+    ]
+    counts = Counter(toks)
+    acc = np.zeros(dim)
+    hit = False
+    for tok, cnt in counts.items():
+        w = idf(tok, weighting)
+        if w is None:
+            continue
+        hit = True
+        acc += word_vector(tok, dim) * (cnt / w)
+    if not hit:
+        return []
+    return [round(float(x), 6) for x in acc]

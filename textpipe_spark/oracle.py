@@ -33,10 +33,13 @@ def rcount(expr: str, pat: str) -> str:
 
 
 def clean_sql(expr: str = "coalesce(text, '')") -> str:
-    """The kernel clean chain as nested regexp_replace + trim."""
+    """The kernel clean chain as nested regexp_replace/replace + trim."""
     out = expr
-    for pat, rep in kclean.CLEAN_STEPS:
-        out = rr(out, pat, rep)
+    for kind, pat, rep in kclean.CLEAN_STEPS:
+        if kind == "lit":
+            out = f"replace({out}, {sql_lit(pat)}, {sql_lit(rep)})"
+        else:
+            out = rr(out, pat, rep)
     return f"trim({out}, ' ')"
 
 

@@ -720,6 +720,147 @@ def q_simhash_dedup(spark, sf_dir):
     return simhash_near_dup_pairs(d, text_col="clean", id_col="doc_id", max_hamming=3)
 
 
+# -------------------------------------------------- q: per-doc word counts
+
+def q_word_counts_doc(spark, sf_dir):
+    """Reference ``WordCounts`` (operation.py:121-143): per-doc token
+    Counter, rendered as a sorted 'token:count' string so both engines
+    compare exactly."""
+    d = _docs(spark, sf_dir)
+    toks = F.regexp_extract_all(F.lower(F.col("clean")), F.lit(ktok.RE_WORD), 0)
+    pairs = d.select("doc_id", F.explode_outer(toks).alias("token")).groupBy(
+        "doc_id", "token"
+    ).agg(F.count("token").alias("cnt"))
+    rendered = pairs.groupBy("doc_id").agg(
+        F.array_join(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("token").isNotNull(),
+                        F.concat_ws(":", "token", "cnt"),
+                    )
+                )
+            ),
+            ",",
+        ).alias("word_counts")
+    )
+    return rendered
+
+
+SQL_WORD_COUNTS_DOC = f"""
+WITH base AS (SELECT doc_id, {CLEAN} AS clean FROM documents),
+toks AS (SELECT doc_id, unnest(
+    CASE WHEN len(regexp_extract_all(lower(clean), {sql_lit(ktok.RE_WORD)})) = 0
+         THEN [NULL]
+         ELSE regexp_extract_all(lower(clean), {sql_lit(ktok.RE_WORD)}) END
+  ) AS token FROM base),
+pairs AS (SELECT doc_id, token, count(token) AS cnt FROM toks GROUP BY 1, 2)
+SELECT doc_id,
+       array_to_string(list_sort(list(CASE WHEN token IS NOT NULL
+            THEN token || ':' || CAST(cnt AS VARCHAR) END)), ',') AS word_counts
+FROM pairs GROUP BY doc_id
+"""
+
+
+# ------------------------------------------------------ q: entities via match
+
+# rule-name -> pattern (the regex subset of reference ``Entities``/
+# ``Doc.match``, doc.py:220-258: span text + rule label, deduped)
+MATCH_RULES = [
+    ("EMAIL", kscrub.SCRUB_STEPS[0][1]),
+    ("IPV4", kscrub.SCRUB_STEPS[2][1]),
+    ("URL", r"https?://[A-Za-z0-9./_%-]+"),
+    ("VERSION", r"\bv?[0-9]+\.[0-9]+(\.[0-9]+)?\b"),
+]
+
+
+def q_entities(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    parts = [
+        F.transform(
+            F.array_distinct(F.regexp_extract_all(F.col("clean"), F.lit(pat), 0)),
+            lambda m: F.concat_ws("|", F.lit(name), m),
+        )
+        for name, pat in MATCH_RULES
+    ]
+    ents = F.array_sort(F.flatten(F.array(*parts)))
+    return d.select("doc_id", F.array_join(ents, ",").alias("entities"))
+
+
+def _sql_entities() -> str:
+    parts = ", ".join(
+        f"list_transform(list_distinct(regexp_extract_all(clean, {sql_lit(pat)})), "
+        f"m -> '{name}' || '|' || m)"
+        for name, pat in MATCH_RULES
+    )
+    return f"""
+WITH base AS (SELECT doc_id, {CLEAN} AS clean FROM documents)
+SELECT doc_id,
+       coalesce(array_to_string(list_sort(flatten([{parts}])), ','), '') AS entities
+FROM base
+"""
+
+
+SQL_ENTITIES = _sql_entities()
+
+
+# ------------------------------------------- rows-only reference operators
+
+def q_keyterms(spark, sf_dir):
+    """TextRank keyterms (reference Keyterms, operation.py:246-270)."""
+    d = _docs(spark, sf_dir)
+    kt = udfs.keyterms_udf(F.col("clean"))
+    return d.select(
+        "doc_id",
+        F.array_join(
+            F.transform(kt, lambda s: s["term"]), ","
+        ).alias("keyterms"),
+    )
+
+
+def q_summary(spark, sf_dir):
+    """TextRank extractive summary (reference GensimTextRank,
+    operation.py:361-405)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", F.array_join(udfs.summary_udf(F.col("clean")), " | ").alias("summary")
+    )
+
+
+def q_doc_vector(spark, sf_dir):
+    """Aggregated token vectors (reference DocumentVector,
+    operation.py:320-338)."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", udfs.doc_vector_udf(F.col("clean")).alias("doc_vector"))
+
+
+def q_doc_embedding(spark, sf_dir):
+    """idf-weighted doc embedding (reference GensimDocumentEmbedding,
+    operation.py:341-358)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", udfs.doc_embedding_udf(F.col("clean")).alias("doc_embedding")
+    )
+
+
+def q_words(spark, sf_dir):
+    """Tokens with offsets (reference Words, operation.py:104-118)."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", udfs.words_udf(F.col("clean")).alias("words"))
+
+
+def q_sentences(spark, sf_dir):
+    """Sentences with offsets (reference Sentences, operation.py:165-183)."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", udfs.sentences_udf(F.col("clean")).alias("sentences"))
+
+
+def q_emojis_annotated(spark, sf_dir):
+    """(emoji, name, sentiment) tuples (reference Doc.emojis)."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", udfs.emojis_udf(F.col("raw")).alias("emojis"))
+
+
 def q_flagship(spark, sf_dir):
     """Full keep/drop + scrub pipeline (the flagship job)."""
     df = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
@@ -756,6 +897,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "lineage_metrics": q_lineage_metrics,
     "emoji_counts": q_emoji_counts,
+    "word_counts_doc": q_word_counts_doc,
+    "entities": q_entities,
     # rows-only (model UDFs / LSH — not SQL-expressible)
     "langid_model": q_langid_model,
     "perplexity_lm": q_perplexity_lm,
@@ -764,6 +907,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_dedup": q_simhash_dedup,
+    "keyterms": q_keyterms,
+    "summary": q_summary,
+    "doc_vector": q_doc_vector,
+    "doc_embedding": q_doc_embedding,
+    "words": q_words,
+    "sentences": q_sentences,
+    "emojis_annotated": q_emojis_annotated,
     "flagship": q_flagship,
 }
 
@@ -788,4 +938,6 @@ ORACLES: dict[str, str] = {
     "quality_score": SQL_QUALITY_SCORE,
     "lineage_metrics": SQL_LINEAGE_METRICS,
     "emoji_counts": SQL_EMOJI,
+    "word_counts_doc": SQL_WORD_COUNTS_DOC,
+    "entities": SQL_ENTITIES,
 }

@@ -70,6 +70,84 @@ def winnow_udf(clean: pd.Series) -> pd.Series:
     return pd.Series([kmh.winnow_fingerprints(t or "") for t in clean])
 
 
+KEYTERMS_SCHEMA = T.ArrayType(
+    T.StructType(
+        [T.StructField("term", T.StringType()), T.StructField("score", T.DoubleType())]
+    )
+)
+
+WORDS_SCHEMA = T.ArrayType(
+    T.StructType(
+        [T.StructField("token", T.StringType()), T.StructField("offset", T.IntegerType())]
+    )
+)
+
+SENTS_SCHEMA = T.ArrayType(
+    T.StructType(
+        [T.StructField("text", T.StringType()), T.StructField("start", T.IntegerType())]
+    )
+)
+
+EMOJI_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("emoji", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("sentiment", T.DoubleType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(KEYTERMS_SCHEMA)
+def keyterms_udf(clean: pd.Series) -> pd.Series:
+    from .kernel import textrank as ktr
+
+    return pd.Series([ktr.keyterms(t or "") for t in clean])
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def summary_udf(clean: pd.Series) -> pd.Series:
+    from .kernel import textrank as ktr
+
+    return pd.Series([ktr.summary(t or "") for t in clean])
+
+
+@F.pandas_udf(T.ArrayType(T.DoubleType()))
+def doc_vector_udf(clean: pd.Series) -> pd.Series:
+    from .kernel import vectors as kvec
+
+    return pd.Series([kvec.document_vector(t or "") for t in clean])
+
+
+@F.pandas_udf(T.ArrayType(T.DoubleType()))
+def doc_embedding_udf(clean: pd.Series) -> pd.Series:
+    from .kernel import vectors as kvec
+
+    return pd.Series([kvec.doc_embedding(t or "") for t in clean])
+
+
+@F.pandas_udf(WORDS_SCHEMA)
+def words_udf(clean: pd.Series) -> pd.Series:
+    """Tokens with char offsets (reference ``Words``, operation.py:104-118)."""
+    return pd.Series([ktok.words(t or "") for t in clean])
+
+
+@F.pandas_udf(SENTS_SCHEMA)
+def sentences_udf(clean: pd.Series) -> pd.Series:
+    """Sentences with start offsets (reference ``Sentences``,
+    operation.py:165-183)."""
+    return pd.Series([ktok.sentences(t or "") for t in clean])
+
+
+@F.pandas_udf(EMOJI_SCHEMA)
+def emojis_udf(text: pd.Series) -> pd.Series:
+    """Annotated emoji (reference ``Doc.emojis``, doc.py:260-280)."""
+    from .kernel import emoji as kemoji
+
+    return pd.Series([kemoji.emojis(t or "") for t in text])
+
+
 def lsh_bands_col(minhash_col, bands: int = 16):
     """Native band hashes from a minhash signature column: slice + hash —
     no second UDF pass over the text."""
