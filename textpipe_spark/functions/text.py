@@ -89,10 +89,30 @@ def repeated_line_fraction_col(raw: Column) -> Column:
 
 
 def mean_word_length_col(clean: Column) -> Column:
-    toks = words_col(clean)
+    return mean_word_length_from_words(words_col(clean))
+
+
+def mean_word_length_from_words(toks: Column) -> Column:
+    """From a materialised token-array column (computed once)."""
     n = F.size(toks)
     return F.when(n == 0, F.lit(0.0)).otherwise(
         F.length(F.array_join(toks, "")).cast("double") / n.cast("double")
+    )
+
+
+def nonempty_lines_col(raw: Column) -> Column:
+    """Trimmed non-empty lines of the raw text (repeated-line rule input)."""
+    lines = F.split(raw, "\n")
+    trimmed = F.transform(lines, lambda s: F.regexp_replace(s, "^[ \t]+|[ \t]+$", ""))
+    return F.filter(trimmed, lambda s: s != F.lit(""))
+
+
+def repeated_line_fraction_from_lines(nonempty: Column) -> Column:
+    """From a materialised line-array column (computed once)."""
+    total = F.size(nonempty)
+    distinct = F.size(F.array_distinct(nonempty))
+    return F.when(total == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - distinct.cast("double") / total.cast("double")
     )
 
 

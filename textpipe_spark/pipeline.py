@@ -125,20 +125,29 @@ def _step_langid_model(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
 def _step_token_stats(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     clean = F.col("clean")
     gate = _len_ok(cfg)
-    return df.withColumns(
+    # materialise the token/line arrays once — their consumers (counts,
+    # ratios, mean length) would otherwise each re-run the extraction
+    df = df.withColumns(
         {
-            "nwords": X.nwords_col(clean),
+            "_words": X.words_col(clean),
+            "_lines": F.when(gate, X.nonempty_lines_col(F.col(cfg.raw_col))),
+        }
+    )
+    df = df.withColumns(
+        {
+            "nwords": F.size(F.col("_words")),
             "nsents": X.nsents_col(clean),
             "nsyllables": X.nsyllables_col(clean),
             "nonprintable_ratio": F.when(
                 gate, X.nonprintable_ratio_col(F.col(cfg.raw_col))
             ),
-            "repeated_line_fraction": F.when(
-                gate, X.repeated_line_fraction_col(F.col(cfg.raw_col))
+            "repeated_line_fraction": X.repeated_line_fraction_from_lines(
+                F.col("_lines")
             ),
-            "mean_word_length": X.mean_word_length_col(clean),
+            "mean_word_length": X.mean_word_length_from_words(F.col("_words")),
         }
     )
+    return df.drop("_words", "_lines")
 
 
 def _step_complexity(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
