@@ -23,6 +23,43 @@ def test_multimodal_features(spark, documents):
         assert again[r["media_id"]] == r["feature"]
 
 
+def test_stateful_dedup_stream(spark, tmp_path_factory):
+    """Cross-batch dedup: duplicates arriving in LATER micro-batches are
+    dropped by the applyInPandasWithState state store."""
+    import os
+
+    src = str(tmp_path_factory.mktemp("dedup_src"))
+    rows1 = [("r", f"p{i}", f"c{i}", "en", f"content number {i}") for i in range(20)]
+    # second file repeats 10 of the first file's contents under new paths
+    rows2 = [("r", f"q{i}", f"d{i}", "en", f"content number {i}") for i in range(10)]
+    rows2 += [("r", f"q{i}", f"d{i}", "en", f"fresh content {i}") for i in range(10, 15)]
+    schema = "repo string, path string, commit string, lang string, content string"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(src + "/b2")
+    flat = str(tmp_path_factory.mktemp("dedup_flat"))
+    for i, b in enumerate(["b1", "b2"]):
+        f = [p for p in os.listdir(f"{src}/{b}") if p.endswith(".parquet")][0]
+        os.rename(f"{src}/{b}/{f}", f"{flat}/part-{i}.parquet")
+
+    out = str(tmp_path_factory.mktemp("dedup_out"))
+    ckpt = str(tmp_path_factory.mktemp("dedup_ckpt"))
+    stream = tps_streaming.stream_code_files(spark, flat, max_files_per_trigger=1)
+    deduped = tps_streaming.stateful_dedup_stream(stream, text_col="content")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    contents = [r["content"] for r in got.collect()]
+    assert len(contents) == len(set(contents))  # no dup content survived
+    assert len(contents) == 25  # 20 unique + 5 fresh
+
+
 def test_streaming_matches_batch(spark, tmp_path_factory):
     from make_corpus import write_corpus
     from textpipe_spark.pipeline import build

@@ -1,0 +1,75 @@
+"""Unit tests for the TextRank and vector kernels (reference-op parity:
+Keyterms operation.py:246-270, GensimTextRank :361-405, DocumentVector
+:320-338, GensimDocumentEmbedding :341-358)."""
+
+import numpy as np
+import pytest
+
+from textpipe_spark.kernel import textrank, vectors
+
+
+TEXT = (
+    "Spark executes queries with partitions. Partitions shuffle data between "
+    "executors. Executors run tasks over partitions. The optimizer plans "
+    "queries before tasks run. Data locality makes tasks fast."
+)
+
+
+def test_keyterms_basic():
+    terms = textrank.keyterms(TEXT, n_terms=5)
+    assert len(terms) == 5
+    names = [t for t, _ in terms]
+    assert "partitions" in names  # highest-degree node in the graph
+    scores = [s for _, s in terms]
+    assert scores == sorted(scores, reverse=True)
+    # deterministic
+    assert textrank.keyterms(TEXT, n_terms=5) == terms
+
+
+def test_keyterms_edge_cases():
+    assert textrank.keyterms("") == []  # doc.py:432-433 parity
+    with pytest.raises(ValueError):  # doc.py:435-437 parity
+        textrank.keyterms(TEXT, ranker="sgrank")
+
+
+def test_summary():
+    out = textrank.summary(TEXT, ratio=0.4)
+    assert 1 <= len(out) <= 3
+    # emitted in document order
+    sents = [s for s, _ in __import__("textpipe_spark.kernel.tokenize", fromlist=["sentences"]).sentences(TEXT)]
+    idxs = [sents.index(s) for s in out]
+    assert idxs == sorted(idxs)
+    assert textrank.summary("One. Two.") == []  # uncompressible
+
+
+def test_word_vector_deterministic_unit():
+    v1 = vectors.word_vector("spark")
+    v2 = vectors.word_vector("spark")
+    v3 = vectors.word_vector("flink")
+    assert np.allclose(v1, v2)
+    assert not np.allclose(v1, v3)
+    assert np.linalg.norm(v1) == pytest.approx(1.0)
+
+
+def test_document_vector_modes():
+    mean = vectors.document_vector(TEXT, "mean")
+    summed = vectors.document_vector(TEXT, "sum")
+    var = vectors.document_vector(TEXT, "var")
+    assert len(mean) == vectors.DIM
+    assert not np.allclose(mean, summed)
+    assert all(v >= 0 for v in var)
+    assert vectors.document_vector("") == []
+    with pytest.raises(NotImplementedError):  # doc.py:602 parity
+        vectors.document_vector(TEXT, "median")
+
+
+def test_doc_embedding_idf():
+    text = "the quick brown fox"  # in the seed vocab
+    naive = vectors.doc_embedding(text, "naive")
+    logw = vectors.doc_embedding(text, "log")
+    assert len(naive) == vectors.DIM and len(logw) == vectors.DIM
+    assert naive != logw
+    # all-OOV -> [] (doc.py:678-679 parity)
+    assert vectors.doc_embedding("zzzqqq xxxyyy") == []
+    with pytest.raises(ValueError):
+        vectors.idf("the", "exp")

@@ -56,6 +56,48 @@ def windowed_quality_metrics(
     )
 
 
+def stateful_dedup_stream(stream_df: DataFrame, text_col: str = "content"):
+    """Cross-batch EXACT dedup as a custom stateful streaming operator
+    (applyInPandasWithState): state = the set of content hashes already
+    emitted for a hash-bucket key; a row passes only the first time its
+    hash is seen across the whole stream.
+
+    Scale shape: keying by a hash bucket (not the full hash) bounds the
+    number of state entries per group while spreading state uniformly
+    across the state store's shuffle partitions.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keyed = stream_df.withColumn(
+        "_sha", F.sha2(F.col(text_col), 256)
+    ).withColumn("_bucket", F.pmod(F.hash(F.col("_sha")), F.lit(64)))
+
+    schema = keyed.schema
+
+    def dedup(key, pdf_iter, state: GroupState):
+        seen = set(state.get[0]) if state.exists else set()
+        for pdf in pdf_iter:
+            fresh = pdf[~pdf["_sha"].isin(seen)]
+            fresh = fresh.drop_duplicates(subset=["_sha"])
+            seen.update(fresh["_sha"].tolist())
+            if len(fresh):
+                yield fresh
+        state.update((list(seen),))
+
+    return (
+        keyed.groupBy("_bucket")
+        .applyInPandasWithState(
+            dedup,
+            outputStructType=schema,
+            stateStructType="seen array<string>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        .drop("_sha", "_bucket")
+    )
+
+
 def write_filtered(
     filtered: DataFrame,
     out_dir: str,
