@@ -157,6 +157,28 @@ class CharNgramModel:
         return best, conf, margin > 0.01
 
 
+def categories(clean: str) -> dict[str, float]:
+    """Per-class probabilities (reference ``Categories``/``Doc.cats``,
+    operation.py:430-448 / doc.py:778-802: spaCy textcat probabilities;
+    ``{}`` with no signal). Our classifier head is a softmax over the
+    char-n-gram model's per-language scores — the same broadcast-linear-head
+    mechanism a real textcat model would drop into."""
+    model = get_model()
+    text = f" {(clean or '').lower()} "
+    grams = [text[i : i + NGRAM_N] for i in range(len(text) - NGRAM_N + 1)]
+    if len(grams) < 2:
+        return {}
+    scores = {
+        lang: sum(model.logp[lang].get(g, model.fallback[lang]) for g in grams)
+        / len(grams)
+        for lang in model.langs
+    }
+    mx = max(scores.values())
+    exps = {lang: math.exp((s - mx) * 20.0) for lang, s in scores.items()}
+    total = sum(exps.values())
+    return {lang: round(v / total, 6) for lang, v in exps.items()}
+
+
 _MODEL: CharNgramModel | None = None
 
 

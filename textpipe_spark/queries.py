@@ -720,6 +720,98 @@ def q_simhash_dedup(spark, sf_dir):
     return simhash_near_dup_pairs(d, text_col="clean", id_col="doc_id", max_hamming=3)
 
 
+# -------------------------------------------- q: hinted langid (hint prior)
+
+def q_langid_hinted(spark, sf_dir):
+    """Stopword langid with the documents.lang column as the cld2-style
+    hint prior (reference detect_language(hint), doc.py:103-134)."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = df.select(
+        "doc_id",
+        F.col("lang").alias("hint"),
+        X.clean_col(F.coalesce(F.col("text"), F.lit(""))).alias("clean"),
+    )
+    lid = X.langid_struct_col(F.col("clean"), hint=F.col("hint"))
+    return d.select(
+        "doc_id", lid["lang"].alias("lang_hinted"), lid["reliable"].alias("reliable")
+    )
+
+
+def _sql_langid_hinted() -> str:
+    sw = ", ".join(
+        f"({O.stopword_count_sql('clean', lg)} + CASE WHEN hint = '{lg}' THEN 1 ELSE 0 END) AS sw_{lg}"
+        for lg in klangid.LANG_ORDER
+    )
+    lang, reliable = O.langid_sql("clean")
+    return f"""
+WITH base AS (SELECT doc_id, lang AS hint, {CLEAN} AS clean FROM documents),
+counts AS (SELECT doc_id, {sw} FROM base)
+SELECT doc_id, {lang} AS lang_hinted, {reliable} AS reliable FROM counts
+"""
+
+
+SQL_LANGID_HINTED = _sql_langid_hinted()
+
+
+# ------------------------------------------ q: windowed event metrics
+
+def q_event_window_metrics(spark, sf_dir):
+    """Tumbling 1-hour event metrics (the streaming metrics shape run as a
+    batch query; engine-level §2.3 metrics table over the events stream)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    win = F.window(F.col("ts"), "1 hour")
+    return (
+        ev.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SQL_EVENT_WINDOW_METRICS = """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------ q: relational join (engine demo)
+
+def q_revenue_by_segment(spark, sf_dir):
+    """Broadcast-join + aggregate demo over the TPC-H-ish tables: customer
+    dim broadcasts, orders fact shuffles once on the group key."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+SQL_REVENUE_BY_SEGMENT = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
 # -------------------------------------------------- q: per-doc word counts
 
 def q_word_counts_doc(spark, sf_dir):
@@ -855,6 +947,23 @@ def q_sentences(spark, sf_dir):
     return d.select("doc_id", udfs.sentences_udf(F.col("clean")).alias("sentences"))
 
 
+def q_categories(spark, sf_dir):
+    """Classifier-head probabilities per doc (reference Categories,
+    operation.py:430-448), rendered sorted for stable compare."""
+    d = _docs(spark, sf_dir)
+    cats = udfs.categories_udf(F.col("clean"))
+    rendered = F.array_join(
+        F.array_sort(
+            F.transform(
+                F.map_entries(cats),
+                lambda e: F.concat_ws(":", e["key"], e["value"].cast("string")),
+            )
+        ),
+        ",",
+    )
+    return d.select("doc_id", rendered.alias("categories"))
+
+
 def q_emojis_annotated(spark, sf_dir):
     """(emoji, name, sentiment) tuples (reference Doc.emojis)."""
     d = _docs(spark, sf_dir)
@@ -899,6 +1008,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emoji_counts": q_emoji_counts,
     "word_counts_doc": q_word_counts_doc,
     "entities": q_entities,
+    "langid_hinted": q_langid_hinted,
+    "event_window_metrics": q_event_window_metrics,
+    "revenue_by_segment": q_revenue_by_segment,
     # rows-only (model UDFs / LSH — not SQL-expressible)
     "langid_model": q_langid_model,
     "perplexity_lm": q_perplexity_lm,
@@ -914,6 +1026,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "words": q_words,
     "sentences": q_sentences,
     "emojis_annotated": q_emojis_annotated,
+    "categories": q_categories,
     "flagship": q_flagship,
 }
 
@@ -940,4 +1053,7 @@ ORACLES: dict[str, str] = {
     "emoji_counts": SQL_EMOJI,
     "word_counts_doc": SQL_WORD_COUNTS_DOC,
     "entities": SQL_ENTITIES,
+    "langid_hinted": SQL_LANGID_HINTED,
+    "event_window_metrics": SQL_EVENT_WINDOW_METRICS,
+    "revenue_by_segment": SQL_REVENUE_BY_SEGMENT,
 }

@@ -140,6 +140,12 @@ def sentences_udf(clean: pd.Series) -> pd.Series:
     return pd.Series([ktok.sentences(t or "") for t in clean])
 
 
+@F.pandas_udf(T.MapType(T.StringType(), T.DoubleType()))
+def categories_udf(clean: pd.Series) -> pd.Series:
+    """Per-class probabilities (reference Categories, operation.py:430-448)."""
+    return pd.Series([klangid.categories(t or "") for t in clean])
+
+
 @F.pandas_udf(EMOJI_SCHEMA)
 def emojis_udf(text: pd.Series) -> pd.Series:
     """Annotated emoji (reference ``Doc.emojis``, doc.py:260-280)."""
