@@ -1,0 +1,62 @@
+"""CLI entry point for the checkpointed backfill — the spark-submit shape.
+
+Cluster usage (BASELINE.json north_rule: "run via spark-submit --py-files
+on a multi-executor cluster"):
+
+    zip -r textpipe_spark.zip textpipe_spark
+    spark-submit --py-files textpipe_spark.zip \
+        tools/run_backfill.py \
+        --source s3://bucket/code_files --sink s3://bucket/filtered \
+        --lineage s3://bucket/lineage --partitions 1024 \
+        --config job_config.json
+
+The pure-Python model kernels ship inside the zip (--py-files IS the
+artifact channel); larger binary models would go through --files +
+SparkFiles.get behind the same kernel getters. Local smoke run:
+
+    python tools/run_backfill.py --source .bench_corpus/v3_n40000 \
+        --sink /tmp/filtered --lineage /tmp/lineage --partitions 16
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="checkpointed quality-filter backfill")
+    ap.add_argument("--source", required=True)
+    ap.add_argument("--sink", required=True)
+    ap.add_argument("--lineage", required=True)
+    ap.add_argument("--partitions", type=int, default=16)
+    ap.add_argument("--config", help="PipelineConfig JSON path (optional)")
+    ap.add_argument("--cores", default="*", help="local[N] cores (local mode only)")
+    args = ap.parse_args()
+
+    from textpipe_spark.io import TableIO, spark_session
+    from textpipe_spark.lineage import LineageLog, metrics_table, run_partitioned
+    from textpipe_spark.pipeline import PipelineConfig
+
+    cfg = PipelineConfig.load(args.config) if args.config else PipelineConfig()
+    spark = spark_session(app="textpipe_backfill", cores=args.cores)
+    spark.sparkContext.setLogLevel("WARN")
+
+    summary = run_partitioned(
+        spark,
+        source=TableIO(args.source, partitions=args.partitions),
+        sink=TableIO(args.sink, partitions=args.partitions),
+        lineage=LineageLog(args.lineage),
+        cfg=cfg,
+    )
+    print(json.dumps(summary))
+    metrics_table(spark, LineageLog(args.lineage)).show(truncate=False)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
