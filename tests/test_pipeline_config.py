@@ -1,0 +1,77 @@
+"""Pipeline configuration behaviour — parity with the reference's
+tests/test_pipeline.py: step sequencing, save/load round-trip, custom-op
+registration + context passing, unknown-op failure."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from textpipe_spark.kernel.rules import RuleConfig
+from textpipe_spark.pipeline import (
+    OPERATIONS,
+    PipelineConfig,
+    build,
+    register_operation,
+)
+
+
+def test_config_save_load_roundtrip(tmp_path):
+    # reference tests/test_pipeline.py:53-63
+    cfg = PipelineConfig(
+        steps=["clean", "langid", "token_stats", "scrub", "decide"],
+        rules=RuleConfig(min_chars=10, allowed_langs=("en", "nl")),
+        raw_col="body",
+        salt_buckets=32,
+    )
+    p = str(tmp_path / "cfg.json")
+    cfg.save(p)
+    loaded = PipelineConfig.load(p)
+    assert loaded == cfg
+    assert loaded.rules.allowed_langs == ("en", "nl")
+
+
+def test_unknown_operation_raises(spark):
+    # reference tests/test_pipeline.py:147-163 (AttributeError analogue)
+    df = spark.createDataFrame([(1, "hello world")], "doc_id long, content string")
+    with pytest.raises(KeyError, match="unknown pipeline operation"):
+        build(df, PipelineConfig(steps=["clean", "nonexistent_op"]))
+
+
+def test_register_custom_operation_context(spark):
+    # reference tests/test_pipeline.py:87-144: custom op sees previous
+    # steps' outputs (the context dict -> earlier named columns)
+    def _step_shout(df, cfg):
+        return df.withColumn("shout", F.upper(F.col("clean")))
+
+    register_operation("shout", _step_shout)
+    try:
+        df = spark.createDataFrame(
+            [(1, "hello world this is fine today ok")], "doc_id long, content string"
+        )
+        out = build(df, PipelineConfig(steps=["clean", "shout"]))
+        row = out.collect()[0]
+        assert row["shout"] == row["clean"].upper()
+    finally:
+        del OPERATIONS["shout"]
+
+
+def test_step_order_respected(spark):
+    # complexity requires token_stats columns — order matters
+    df = spark.createDataFrame(
+        [(1, "one sentence here. and another one follows!")],
+        "doc_id long, content string",
+    )
+    out = build(df, PipelineConfig(steps=["clean", "token_stats", "complexity"]))
+    row = out.collect()[0]
+    assert row["nsents"] == 2
+    assert row["complexity"] is not None
+
+
+def test_hint_language_column(spark):
+    # reference Pipeline(language=...) hint prior (pipeline.py:28-31)
+    df = spark.createDataFrame(
+        [(1, "de de tie breaker text goes here ok", "nl")],
+        "doc_id long, content string, hint string",
+    )
+    cfg = PipelineConfig(steps=["clean", "langid"], hint_lang_col="hint")
+    out = build(df, cfg).collect()[0]
+    assert out["lang"] == "nl"  # hint wins the tie exactly like the kernel

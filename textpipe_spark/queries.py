@@ -977,6 +977,34 @@ def q_sentences(spark, sf_dir):
     return d.select("doc_id", udfs.sentences_udf(F.col("clean")).alias("sentences"))
 
 
+def q_raw(spark, sf_dir):
+    """Identity (reference Raw, operation.py:70-84)."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return df.select("doc_id", F.coalesce(F.col("text"), F.lit("")).alias("raw"))
+
+
+def q_word_vectors(spark, sf_dir):
+    """Per-token vectors + norms + OOV flags (reference WordVectors,
+    operation.py:293-317), rendered as sorted token:flag:norm summary."""
+    d = _docs(spark, sf_dir)
+    wv = udfs.word_vectors_udf(F.col("clean"))
+    rendered = F.array_join(
+        F.array_sort(
+            F.transform(
+                F.map_entries(wv),
+                lambda e: F.concat_ws(
+                    ":",
+                    e["key"],
+                    e["value"]["has_vector"].cast("string"),
+                    F.round(e["value"]["vector_norm"], 4).cast("string"),
+                ),
+            )
+        ),
+        ",",
+    )
+    return d.select("doc_id", rendered.alias("word_vectors"))
+
+
 def q_categories(spark, sf_dir):
     """Classifier-head probabilities per doc (reference Categories,
     operation.py:430-448), rendered sorted for stable compare."""
@@ -1039,6 +1067,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "word_counts_doc": q_word_counts_doc,
     "entities": q_entities,
     "langid_hinted": q_langid_hinted,
+    "raw": q_raw,
     "event_window_metrics": q_event_window_metrics,
     "revenue_by_segment": q_revenue_by_segment,
     # rows-only (model UDFs / LSH — not SQL-expressible)
@@ -1057,6 +1086,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sentences": q_sentences,
     "emojis_annotated": q_emojis_annotated,
     "categories": q_categories,
+    "word_vectors": q_word_vectors,
     "flagship": q_flagship,
 }
 
@@ -1084,6 +1114,7 @@ ORACLES: dict[str, str] = {
     "word_counts_doc": SQL_WORD_COUNTS_DOC,
     "entities": SQL_ENTITIES,
     "langid_hinted": SQL_LANGID_HINTED,
+    "raw": "SELECT doc_id, coalesce(text, '') AS raw FROM documents",
     "event_window_metrics": SQL_EVENT_WINDOW_METRICS,
     "revenue_by_segment": SQL_REVENUE_BY_SEGMENT,
 }

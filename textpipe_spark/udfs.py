@@ -140,6 +140,45 @@ def sentences_udf(clean: pd.Series) -> pd.Series:
     return pd.Series([ktok.sentences(t or "") for t in clean])
 
 
+WORD_VECTORS_SCHEMA = T.MapType(
+    T.StringType(),
+    T.StructType(
+        [
+            T.StructField("has_vector", T.BooleanType()),
+            T.StructField("vector_norm", T.DoubleType()),
+            T.StructField("is_oov", T.BooleanType()),
+            T.StructField("vector", T.ArrayType(T.FloatType())),
+        ]
+    ),
+)
+
+
+@F.pandas_udf(WORD_VECTORS_SCHEMA)
+def word_vectors_udf(clean: pd.Series) -> pd.Series:
+    """Per-token vectors with norm + OOV flag (reference ``WordVectors``,
+    operation.py:293-317 / doc.py:499-538). Vocabulary = the embedded seed
+    corpus; in-vocab tokens get the hashed vector, OOV tokens mirror the
+    reference's has_vector=False shape."""
+    import numpy as np
+
+    from .kernel import vectors as kvec
+    from .kernel.vectors import _TRAIN_COUNTS
+
+    out = []
+    for text in clean:
+        toks = {t.lower() for t in ktok._WORD.findall(text or "")}
+        m = {}
+        for t in sorted(toks):
+            if t in _TRAIN_COUNTS:
+                v = kvec.word_vector(t)
+                m[t] = (True, float(np.linalg.norm(v)), False,
+                        [float(x) for x in v])
+            else:
+                m[t] = (False, 0.0, True, [])
+        out.append(m)
+    return pd.Series(out)
+
+
 @F.pandas_udf(T.MapType(T.StringType(), T.DoubleType()))
 def categories_udf(clean: pd.Series) -> pd.Series:
     """Per-class probabilities (reference Categories, operation.py:430-448)."""
