@@ -1,0 +1,86 @@
+"""Skew-salting spread + watermarked windowed streaming metrics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from textpipe_spark.pipeline import PipelineConfig, build, salted_repartition
+from textpipe_spark import streaming as tps_streaming
+
+from make_corpus import GIANT_REPO, write_corpus
+
+
+def test_salted_repartition_spreads_giant_repo(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("skew"))
+    write_corpus(d, n_files=2000, seed=42, partitions=4)
+    df = spark.read.parquet(d).select("repo", "path", "content")
+    cfg = PipelineConfig(salt_buckets=16)
+
+    # without salting: hash-partitioning on repo puts the giant on 1 partition
+    plain = df.repartition(16, F.col("repo"))
+    plain_spread = (
+        plain.where(F.col("repo") == GIANT_REPO)
+        .select(F.spark_partition_id().alias("pid"))
+        .distinct()
+        .count()
+    )
+    assert plain_spread == 1
+
+    salted = salted_repartition(df, cfg)
+    spread = (
+        salted.where(F.col("repo") == GIANT_REPO)
+        .select(F.spark_partition_id().alias("pid"))
+        .distinct()
+        .count()
+    )
+    assert spread > 4  # the >20%-of-files repo fans out over many partitions
+    assert salted.count() == df.count()  # nothing lost
+
+
+def test_windowed_quality_metrics_stream(spark, tmp_path_factory):
+    """Watermark + tumbling window over a filtered stream; totals match the
+    batch computation."""
+    import datetime as dt
+
+    src = str(tmp_path_factory.mktemp("wm_src")) + "/data"
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    for i in range(120):
+        ts = base + dt.timedelta(seconds=30 * i)  # spans one hour
+        text = "the quick brown fox jumps over the lazy dog today ok fine" if i % 3 else "x"
+        rows.append(("r", f"p{i}", f"c{i}", "en", text, ts))
+    schema = (
+        "repo string, path string, commit string, lang string, "
+        "content string, event_ts timestamp"
+    )
+    spark.createDataFrame(rows, schema).coalesce(2).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    filtered = tps_streaming.filtered_stream(stream)
+    metrics = tps_streaming.windowed_quality_metrics(
+        filtered, ts_col="event_ts", window="10 minutes", watermark="20 minutes"
+    )
+    q = (
+        metrics.writeStream.format("memory")
+        .queryName("wm_metrics")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from wm_metrics").collect()
+    # append mode emits only windows closed by the watermark; totals over
+    # emitted windows must match the batch ground truth for those windows
+    batch = build(
+        spark.read.parquet(src).drop("event_ts").join(
+            spark.read.parquet(src).select("path", "event_ts"), "path"
+        ),
+        PipelineConfig(),
+    )
+    assert len(got) >= 3  # windows closed by the final watermark
+    for r in got:
+        lo, hi = r["window"]["start"], r["window"]["end"]
+        want = batch.where((F.col("event_ts") >= lo) & (F.col("event_ts") < hi))
+        assert r["files_in"] == want.count()
+        assert r["files_kept"] == want.where(F.col("keep")).count()

@@ -276,11 +276,17 @@ def salted_repartition(
     cfg: PipelineConfig,
     hot_key: str = "repo",
     spread_key: str = "path",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Skew guard for giant repos (SURVEY.md §2.3 / BASELINE.json:6):
     partition on (hot_key, pmod(hash(spread_key), B)) so a repo holding >20%
     of all files fans out over B partitions instead of one straggler, while
     files stay co-located at (repo, salt) granularity for downstream writes.
+
+    The partition count is explicit — an AQE-coalesced exchange would fold
+    small salted partitions back together, re-creating the straggler on a
+    skewed input.
     """
     salt = F.pmod(F.hash(F.col(spread_key)), F.lit(cfg.salt_buckets))
-    return df.repartition(F.col(hot_key), salt)
+    n = num_partitions or cfg.salt_buckets
+    return df.repartition(n, F.col(hot_key), salt)

@@ -555,6 +555,48 @@ FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT {ANN_K}
 """
 
 
+# -------------------------------------------- q: embedding-cosine near-dup
+
+EMB_DUP_THRESHOLD = 0.42
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (brute-force verify tier; the
+    LSH-bucketed tier is similarity.lsh_topk). Self-join bounded by id<id."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("id1"), F.col("v").alias("v1"))
+    b = emb.select(F.col("vec_id").alias("id2"), F.col("v").alias("v2"))
+    pairs = a.crossJoin(b).where(F.col("id1") < F.col("id2"))
+    cos = F.round(V.cosine_col(F.col("v1"), F.col("v2")), 4)
+    return (
+        pairs.select(
+            F.col("id1").cast("long").alias("id1"),
+            F.col("id2").cast("long").alias("id2"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= EMB_DUP_THRESHOLD)
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         CASE WHEN sqrt(list_sum(list_transform(a.v, x -> x*x)))
+                   * sqrt(list_sum(list_transform(b.v, x -> x*x))) = 0 THEN 0.0
+              ELSE list_dot_product(a.v, b.v)
+                   / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+                      * sqrt(list_sum(list_transform(b.v, x -> x*x)))) END AS cos
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT CAST(id1 AS BIGINT) AS id1, CAST(id2 AS BIGINT) AS id2,
+       round(cos, 4) AS cosine
+FROM pairs WHERE round(cos, 4) >= {EMB_DUP_THRESHOLD}
+"""
+
+
 # ---------------------------------------------------------- q: doc vector stats
 
 def q_doc_vector_stats(spark, sf_dir):
@@ -1060,6 +1102,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_ppl": q_unigram_ppl,
     "jaccard_pairs": q_jaccard_pairs,
     "ann_topk": q_ann_topk,
+    "embedding_near_dup": q_embedding_near_dup,
     "doc_vector_stats": q_doc_vector_stats,
     "quality_score": q_quality_score,
     "lineage_metrics": q_lineage_metrics,
@@ -1107,6 +1150,7 @@ ORACLES: dict[str, str] = {
     "unigram_ppl": SQL_UNIGRAM_PPL,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "ann_topk": SQL_ANN_TOPK,
+    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "doc_vector_stats": SQL_DOC_VECTOR_STATS,
     "quality_score": SQL_QUALITY_SCORE,
     "lineage_metrics": SQL_LINEAGE_METRICS,
