@@ -1,0 +1,57 @@
+"""IVF ANN index + bucketed co-located join tests (scale-path features)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from textpipe_spark import similarity
+from textpipe_spark.io import write_bucketed
+
+
+def test_ivf_topk_beats_random(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    indexed, model = similarity.build_ivf_index(emb, dim=64, n_cells=8)
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    exact = {r["vec_id"] for r in similarity.brute_force_topk(emb, q, k=10).collect()}
+    approx_rows = similarity.ivf_topk(indexed, model, q, k=10, n_probe=3).collect()
+    approx = {r["vec_id"] for r in approx_rows}
+    assert 0 in approx  # the query's own cell is always probed
+    assert len(approx & exact) >= 4  # decent recall probing 3/8 cells
+    # probe cost bound: 3 of 8 cells cover well under the whole corpus
+    cell_sizes = {r["_cell"]: r["n"] for r in indexed.groupBy("_cell").agg(F.count("*").alias("n")).collect()}
+    assert len(cell_sizes) == 8
+    assert max(cell_sizes.values()) < emb.count()
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path_factory):
+    """Two tables bucketed on the same key join WITHOUT a shuffle."""
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(100)], "doc_id long, text string"
+    )
+    labels = spark.createDataFrame(
+        [(i, i % 2 == 0) for i in range(100)], "doc_id long, keep boolean"
+    )
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS b_docs")
+    spark.sql("DROP TABLE IF EXISTS b_labels")
+    # a crashed previous run can leave the managed location behind
+    shutil.rmtree("spark-warehouse/b_docs", ignore_errors=True)
+    shutil.rmtree("spark-warehouse/b_labels", ignore_errors=True)
+    write_bucketed(docs, "b_docs", "doc_id", n_buckets=4, sort_col="doc_id")
+    write_bucketed(labels, "b_labels", "doc_id", n_buckets=4, sort_col="doc_id")
+
+    # force a sort-merge join so the bucketing (not broadcast) is what
+    # avoids the shuffle — at real scale neither side broadcasts
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_docs").join(spark.table("b_labels"), "doc_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan  # no shuffle
+        assert joined.count() == 100
+
+        # contrast: the same join on unbucketed frames shuffles both sides
+        plain = docs.join(labels, "doc_id")
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" in plain_plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")

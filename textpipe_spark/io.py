@@ -55,6 +55,28 @@ class TableIO:
         df.write.mode("append").partitionBy(PART_COL).parquet(self.root)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """Persist as a bucketed (+optionally sorted) managed table.
+
+    Bucketing pre-shuffles ONCE at write time: joins/aggregations between
+    tables bucketed the same way on the same key run with NO Exchange —
+    the big-join strategy for repeated co-located joins at corpus scale
+    (e.g. documents ⋈ signatures ⋈ labels, all bucketed by doc_id).
+    Iceberg's bucket-transform partitioning is the same idea; this is the
+    Spark-managed-table flavour.
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
 def spark_session(
     app: str = "textpipe_spark",
     cores: int | str = "*",

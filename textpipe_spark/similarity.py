@@ -115,6 +115,54 @@ def lsh_topk(
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
+def build_ivf_index(
+    vectors: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 7,
+):
+    """IVF coarse quantizer: k-means centroids (MLlib) + cell assignment.
+
+    Returns (indexed_df with _cell column, kmeans_model). At scale the
+    index is written once, partitioned by _cell; probes read only the
+    nearest cells (partition pruning does the rest).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    with_vec = vectors.withColumn("_features", array_to_vector(F.col(vec_col)))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="_features", predictionCol="_cell")
+    model = km.fit(with_vec)
+    indexed = model.transform(with_vec).drop("_features")
+    return indexed, model
+
+
+def ivf_topk(
+    indexed: DataFrame,
+    model,
+    query: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe the n_probe nearest IVF cells for the query, brute-force
+    within them. Probe cost ~ (n_probe/n_cells) of the corpus."""
+    import numpy as np
+
+    centers = np.vstack(model.clusterCenters())
+    qvec = np.array(query.select("qvec").first()["qvec"], dtype=float)
+    dists = ((centers - qvec) ** 2).sum(axis=1)
+    probe_cells = [int(c) for c in np.argsort(dists)[:n_probe]]
+    cands = indexed.where(F.col("_cell").isin(probe_cells))
+    scored = cands.crossJoin(F.broadcast(query)).select(
+        F.col(id_col),
+        cosine_col(F.col(vec_col), F.col("qvec")).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
 def knn_join_label(
     vectors: DataFrame,
     queries: DataFrame,
