@@ -44,8 +44,11 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",
     "simhash_dedup",
     "ann_topk",
+    "embedding_near_dup",
     "doc_vector_stats",
     "lineage_metrics",
+    "event_window_metrics",
+    "revenue_by_segment",
 ]
 
 
