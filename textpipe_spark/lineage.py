@@ -84,21 +84,29 @@ def run_partitioned(
     cfg: PipelineConfig | None = None,
     partitions: list[int] | None = None,
     fail_after: int | None = None,
+    parallelism: int = 1,
 ) -> dict:
     """The checkpointed driver loop. ``fail_after`` kills the run after N
-    partitions (test hook for resume semantics). Returns a summary dict."""
+    partitions (test hook for resume semantics). Returns a summary dict.
+
+    ``parallelism`` > 1 submits that many partition jobs concurrently from
+    driver threads (Spark schedules concurrent jobs fine); per-partition
+    fixed costs (planning, write commit) overlap instead of serialising.
+    Lineage appends are serialised behind a lock — checkpoint semantics
+    are unchanged: a partition is either fully written + logged or rerun.
+    """
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
     cfg = cfg or PipelineConfig()
     sha = config_fingerprint(cfg)
     todo = partitions if partitions is not None else list(range(source.partitions))
     done = lineage.completed_partitions(spark, sha)
     summary = {"skipped": 0, "processed": 0, "files_in": 0, "files_out": 0}
+    lock = threading.Lock()
     processed = 0
-    for part in todo:
-        if part in done:
-            summary["skipped"] += 1
-            continue
-        if fail_after is not None and processed >= fail_after:
-            raise RuntimeError(f"simulated failure before partition {part}")
+
+    def run_one(part: int) -> None:
         t0 = time.monotonic()
         df = source.read_partition(spark, part)
         df = salted_repartition(df, cfg)
@@ -117,21 +125,42 @@ def run_partitioned(
         files_in = sum(hist.values())
         files_out = files_in - sum(v for k, v in hist.items() if k)
         wall_ms = int((time.monotonic() - t0) * 1000)
-        lineage.append(
-            spark,
-            {
-                "part_id": part,
-                "config_sha": sha,
-                "files_in": files_in,
-                "files_out": files_out,
-                "drop_reason_histogram": json.dumps(hist, sort_keys=True),
-                "wall_ms": wall_ms,
-            },
-        )
-        summary["processed"] += 1
-        summary["files_in"] += files_in
-        summary["files_out"] += files_out
-        processed += 1
+        with lock:
+            lineage.append(
+                spark,
+                {
+                    "part_id": part,
+                    "config_sha": sha,
+                    "files_in": files_in,
+                    "files_out": files_out,
+                    "drop_reason_histogram": json.dumps(hist, sort_keys=True),
+                    "wall_ms": wall_ms,
+                },
+            )
+            summary["processed"] += 1
+            summary["files_in"] += files_in
+            summary["files_out"] += files_out
+
+    pending = []
+    for part in todo:
+        if part in done:
+            summary["skipped"] += 1
+            continue
+        if fail_after is not None and len(pending) >= fail_after:
+            # run what's queued, then simulate the crash (test hook)
+            for p in pending:
+                run_one(p)
+            raise RuntimeError(f"simulated failure before partition {part}")
+        pending.append(part)
+
+    if parallelism <= 1:
+        for p in pending:
+            run_one(p)
+    else:
+        with ThreadPoolExecutor(max_workers=parallelism) as pool:
+            futures = [pool.submit(run_one, p) for p in pending]
+            for f in futures:
+                f.result()  # surface the first failure
     return summary
 
 

@@ -35,6 +35,8 @@ def main() -> None:
     ap.add_argument("--lineage", required=True)
     ap.add_argument("--partitions", type=int, default=16)
     ap.add_argument("--config", help="PipelineConfig JSON path (optional)")
+    ap.add_argument("--parallelism", type=int, default=1,
+                    help="concurrent partition jobs (driver threads)")
     ap.add_argument("--cores", default="*", help="local[N] cores (local mode only)")
     args = ap.parse_args()
 
@@ -52,6 +54,7 @@ def main() -> None:
         sink=TableIO(args.sink, partitions=args.partitions),
         lineage=LineageLog(args.lineage),
         cfg=cfg,
+        parallelism=args.parallelism,
     )
     print(json.dumps(summary))
     metrics_table(spark, LineageLog(args.lineage)).show(truncate=False)
