@@ -1,8 +1,8 @@
 """Config-driven pipeline builder — the Spark analogue of textpipe's
 ``Pipeline`` (reference ``pipeline.py:12-147``).
 
-A pipeline is a list of named steps; each step is a column-builder
-``(df, cfg) -> dict[str, Column]`` from the OPERATIONS registry (the
+A pipeline is a list of named steps; each step is a DataFrame transform
+``(df, cfg) -> DataFrame`` from the OPERATIONS registry (the
 analogue of resolving operation classes by name, ``pipeline.py:49-52``, and
 of ``register_operation``, ``pipeline.py:81-89``). Steps see all previous
 steps' columns — the reference's ``context`` dict (``pipeline.py:73-78``)
