@@ -1,0 +1,83 @@
+"""Source connectors + model-artifact round-trip tests."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+from textpipe_spark import sources
+from textpipe_spark.kernel.langid import CharNgramModel, SEED_TEXT
+from textpipe_spark.kernel.lm import BigramLM
+
+
+def test_read_jsonl_and_csv(spark, tmp_path):
+    rows = [
+        {"repo": "r", "path": f"p{i}", "commit": "c", "lang": "en",
+         "content": f"some content {i}", "extra": "ignored"}
+        for i in range(10)
+    ]
+    import json
+
+    jl = tmp_path / "d.jsonl"
+    jl.write_text("\n".join(json.dumps(r) for r in rows))
+    df = sources.read_jsonl(spark, str(jl))
+    assert df.columns == ["repo", "path", "commit", "lang", "content"]
+    assert df.count() == 10
+    assert df.where("content = 'some content 3'").count() == 1
+
+    csv = tmp_path / "d.csv"
+    csv.write_text(
+        "repo,path,commit,lang,content\n"
+        + "\n".join(f"r,p{i},c,en,\"text, {i}\"" for i in range(5))
+    )
+    cdf = sources.read_csv(spark, str(csv))
+    assert cdf.count() == 5
+    assert cdf.where("content = 'text, 2'").count() == 1
+
+
+def test_read_text_tree(spark, tmp_path):
+    d = tmp_path / "repo" / "src"
+    d.mkdir(parents=True)
+    (d / "a.py").write_text("print('hello')\n")
+    (d / "b.py").write_text("x = 1\n")
+    df = sources.read_text_tree(spark, str(tmp_path / "repo"), repo="org/repo")
+    got = {r["content"] for r in df.collect()}
+    # the text source trims the trailing record delimiter
+    assert got == {"print('hello')", "x = 1"}
+    assert all(r["repo"] == "org/repo" for r in df.collect())
+
+
+def test_model_artifact_roundtrip(tmp_path):
+    m = CharNgramModel.train()
+    p = str(tmp_path / "langid_model.json")
+    m.save(p)
+    loaded = CharNgramModel.load(p)
+    for lang, text in SEED_TEXT.items():
+        assert loaded.score(text[:60]) == m.score(text[:60])
+
+    lm = BigramLM.train()
+    q = str(tmp_path / "bigram_lm.json")
+    lm.save(q)
+    lm2 = BigramLM.load(q)
+    t = "the quick brown fox jumps"
+    assert lm2.perplexity(t) == lm.perplexity(t)
+
+
+def test_artifact_env_resolution(tmp_path):
+    """A fresh process with TEXTPIPE_MODEL_DIR set loads the artifact and
+    scores identically to embedded training."""
+    from textpipe_spark.kernel.langid import LANGID_ARTIFACT
+
+    CharNgramModel.train().save(str(tmp_path / LANGID_ARTIFACT))
+    code = (
+        "from textpipe_spark.kernel.langid import get_model, SEED_TEXT\n"
+        "m = get_model()\n"
+        "print(m.score(SEED_TEXT['fr'][:60])[0])\n"
+    )
+    env = dict(os.environ, TEXTPIPE_MODEL_DIR=str(tmp_path))
+    env["PYTHONPATH"] = "/root/repo"
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, env=env
+    )
+    assert out.stdout.strip() == "fr", out.stderr[-500:]

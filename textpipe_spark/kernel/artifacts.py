@@ -1,0 +1,36 @@
+"""Model-artifact resolution — the spark-submit --files channel.
+
+north_star: "Model artifacts (fastText .bin, n-gram LM) ship via
+spark-submit --files with broadcast-once-per-executor loading inside the
+Arrow UDFs, never per-row Python." Resolution order on each worker:
+
+1. ``SparkFiles.get(name)`` — the file shipped with ``--files`` (present
+   on every executor's working dir),
+2. ``$TEXTPIPE_MODEL_DIR/name`` — local/dev override,
+3. None — caller falls back to the embedded deterministic training
+   (this sandbox has no external model files).
+
+Loading happens once per Python worker process via the ``get_model`` /
+``get_lm`` singletons; the artifact never travels per row or per batch.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def find_artifact(name: str) -> str | None:
+    try:
+        from pyspark import SparkFiles
+
+        p = SparkFiles.get(name)
+        if p and os.path.exists(p):
+            return p
+    except Exception:
+        pass
+    d = os.environ.get("TEXTPIPE_MODEL_DIR")
+    if d:
+        p = os.path.join(d, name)
+        if os.path.exists(p):
+            return p
+    return None

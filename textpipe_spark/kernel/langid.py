@@ -135,6 +135,20 @@ class CharNgramModel:
             fallback[lang] = math.log(_SMOOTH / denom)
         return cls(logp, fallback)
 
+    def save(self, path: str) -> None:
+        import json
+
+        with open(path, "w", encoding="utf-8") as fh:
+            json.dump({"logp": self.logp, "fallback": self.fallback}, fh)
+
+    @classmethod
+    def load(cls, path: str) -> "CharNgramModel":
+        import json
+
+        with open(path, encoding="utf-8") as fh:
+            d = json.load(fh)
+        return cls(d["logp"], d["fallback"])
+
     def score(self, clean: str, hint: str | None = None) -> tuple[str, float, bool]:
         """(lang, confidence, is_reliable); ('un', 0.0, False) on empty."""
         text = f" {(clean or '').lower()} "
@@ -182,9 +196,21 @@ def categories(clean: str) -> dict[str, float]:
 _MODEL: CharNgramModel | None = None
 
 
+LANGID_ARTIFACT = "langid_model.json"
+
+
 def get_model() -> CharNgramModel:
-    """Process-global singleton (per-worker load-once, BASELINE.json:6)."""
+    """Process-global singleton (per-worker load-once, BASELINE.json:6).
+
+    Resolution: --files / $TEXTPIPE_MODEL_DIR artifact if shipped
+    (kernel.artifacts), else deterministic embedded training."""
     global _MODEL
     if _MODEL is None:
-        _MODEL = CharNgramModel.train()
+        from .artifacts import find_artifact
+
+        path = find_artifact(LANGID_ARTIFACT)
+        if path:
+            _MODEL = CharNgramModel.load(path)
+        else:
+            _MODEL = CharNgramModel.train()
     return _MODEL

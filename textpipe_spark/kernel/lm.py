@@ -65,12 +65,43 @@ class BigramLM:
         return math.exp(-total / len(toks))
 
 
+    def save(self, path: str) -> None:
+        import json
+
+        with open(path, "w", encoding="utf-8") as fh:
+            json.dump(
+                {
+                    "unigrams": dict(self.unigrams),
+                    "bigrams": {f"{a}\x1f{b}": c for (a, b), c in self.bigrams.items()},
+                    "v": self.v,
+                },
+                fh,
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "BigramLM":
+        import json
+
+        with open(path, encoding="utf-8") as fh:
+            d = json.load(fh)
+        bi = Counter(
+            {tuple(k.split("\x1f")): c for k, c in d["bigrams"].items()}
+        )
+        return cls(Counter(d["unigrams"]), bi, d["v"])
+
+
 _LM: BigramLM | None = None
+
+LM_ARTIFACT = "bigram_lm.json"
 
 
 def get_lm() -> BigramLM:
-    """Per-worker load-once singleton (BASELINE.json:6)."""
+    """Per-worker load-once singleton (BASELINE.json:6); --files /
+    $TEXTPIPE_MODEL_DIR artifact wins over embedded training."""
     global _LM
     if _LM is None:
-        _LM = BigramLM.train()
+        from .artifacts import find_artifact
+
+        path = find_artifact(LM_ARTIFACT)
+        _LM = BigramLM.load(path) if path else BigramLM.train()
     return _LM

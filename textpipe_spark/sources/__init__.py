@@ -1,0 +1,68 @@
+"""Source connectors — alternative input formats for the code_files schema.
+
+The engine's canonical input is the Iceberg/parquet table
+``code_files(repo, path, commit, lang, content)`` (BASELINE.json
+input_hint). Real corpora also arrive as JSONL dumps, CSV manifests, or
+raw file trees; each reader here lands in the SAME schema so everything
+downstream (pipeline, dedup, lineage) is source-agnostic.
+
+All readers are plain ``spark.read`` — predicate pushdown and schema
+enforcement stay with the built-in data sources.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CODE_FILES_SCHEMA = (
+    "repo string, path string, commit string, lang string, content string"
+)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path).select(
+        "repo", "path", "commit", "lang", "content"
+    )
+
+
+def read_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """JSON-lines dumps with the code_files fields (extra fields ignored,
+    missing ones null). Explicit schema: no sampling pass, no inference
+    drift at scale."""
+    return spark.read.schema(CODE_FILES_SCHEMA).json(path)
+
+
+def read_csv(spark: SparkSession, path: str, header: bool = True) -> DataFrame:
+    return (
+        spark.read.schema(CODE_FILES_SCHEMA)
+        .option("header", str(header).lower())
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
+def read_text_tree(
+    spark: SparkSession,
+    root: str,
+    repo: str,
+    commit: str = "",
+    lang: str = "",
+) -> DataFrame:
+    """A raw checkout directory -> code_files rows: one row per file via
+    wholetext (file path becomes ``path``; the trailing record delimiter is
+    trimmed by the text source). For real corpora prefer a
+    manifest + binaryFile source; this is the convenience path."""
+    df = (
+        spark.read.option("wholetext", "true")
+        .text(f"{root}/**")
+        .withColumn("_file", F.input_file_name())
+    )
+    return df.select(
+        F.lit(repo).alias("repo"),
+        F.regexp_replace(F.col("_file"), "^file:", "").alias("path"),
+        F.lit(commit).alias("commit"),
+        F.lit(lang).alias("lang"),
+        F.col("value").alias("content"),
+    )

@@ -1,0 +1,33 @@
+"""Export the deterministic model artifacts for spark-submit --files.
+
+    python tools/export_models.py models/
+    spark-submit --py-files textpipe_spark.zip \
+        --files models/langid_model.json,models/bigram_lm.json ...
+
+Workers resolve them via SparkFiles (kernel/artifacts.py); without the
+artifacts every worker trains the identical embedded model, so results
+are byte-identical either way — the channel exists for swapping in real
+(larger) models.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from textpipe_spark.kernel.langid import LANGID_ARTIFACT, CharNgramModel
+from textpipe_spark.kernel.lm import LM_ARTIFACT, BigramLM
+
+
+def main() -> None:
+    out = sys.argv[1] if len(sys.argv) > 1 else "models"
+    os.makedirs(out, exist_ok=True)
+    CharNgramModel.train().save(os.path.join(out, LANGID_ARTIFACT))
+    BigramLM.train().save(os.path.join(out, LM_ARTIFACT))
+    print(f"wrote {LANGID_ARTIFACT}, {LM_ARTIFACT} to {out}/")
+
+
+if __name__ == "__main__":
+    main()
