@@ -118,8 +118,21 @@ def repeated_line_fraction_from_lines(nonempty: Column) -> Column:
 
 # ------------------------------------------------------------- langid (SQL tier)
 
+def tokens_lower_col(clean: Column) -> Column:
+    """Lowercased RE_WORD tokens — materialise this ONCE and feed it to all
+    stopword counts (HOF lambdas re-evaluate inline subexpressions)."""
+    return F.regexp_extract_all(F.lower(clean), F.lit(ktok.RE_WORD), 0)
+
+
+def stopword_count_from_tokens(toks: Column, lang: str) -> Column:
+    """Token-exact stopword hits from a materialised token-array column
+    (kernel ``langid.stopword_count`` spec)."""
+    ws = klangid.STOPWORDS[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(*ws)))
+
+
 def stopword_count_col(clean: Column, lang: str) -> Column:
-    return F.regexp_count(clean, F.lit(klangid.stopword_pattern(lang)))
+    return stopword_count_from_tokens(tokens_lower_col(clean), lang)
 
 
 def langid_struct_col(clean: Column, hint: Column | None = None) -> Column:

@@ -38,22 +38,36 @@ RELIABLE_MARGIN = 2  # top count must beat runner-up by >= margin
 
 
 def stopword_pattern(lang: str) -> str:
-    """Tri-dialect regex counting stopword hits (case-insensitive)."""
+    """Tri-dialect regex counting stopword hits (case-insensitive) — the
+    one-shot form used by standalone queries; the pipeline counts from the
+    materialised token array instead (same spec: a hit is a whole RE_WORD
+    token equal to a stopword)."""
     alt = "|".join(STOPWORDS[lang])
     return rf"(?i)\b(?:{alt})\b"
 
 
-# re.ASCII keeps Python's \b / (?i) at ASCII semantics, matching Java & RE2.
-_SW_RE = {lang: re.compile(stopword_pattern(lang), re.ASCII) for lang in LANG_ORDER}
+def stopword_count(tokens_lower: list[str], lang: str) -> int:
+    sw = _SW_SETS[lang]
+    return sum(1 for t in tokens_lower if t in sw)
+
+
+_SW_SETS = {lang: frozenset(ws) for lang, ws in STOPWORDS.items()}
+
+from .tokenize import RE_WORD as _RE_WORD  # noqa: E402
+
+_WORD_RE = re.compile(_RE_WORD)
 
 
 def detect_stopwords(clean: str, hint: str | None = None) -> tuple[str, bool]:
-    """(lang, is_reliable) via stopword-hit argmax.
+    """(lang, is_reliable) via stopword-token argmax: a hit is a RE_WORD
+    token that lowercases to a stopword (token-exact, not substring — so
+    'the_x' or 'théatre' never count).
 
     Ties broken by LANG_ORDER; hint adds +1 (the cld2 hintLanguage prior,
     doc.py:109). All-zero -> ('un', False).
     """
-    counts = {lang: len(_SW_RE[lang].findall(clean or "")) for lang in LANG_ORDER}
+    toks = [t.lower() for t in _WORD_RE.findall(clean or "")]
+    counts = {lang: stopword_count(toks, lang) for lang in LANG_ORDER}
     if hint in counts:
         counts[hint] += 1
     best = max(LANG_ORDER, key=lambda lg: (counts[lg], ))

@@ -98,8 +98,17 @@ def mean_word_length_sql(clean: str) -> str:
     )
 
 
-def stopword_count_sql(clean: str, lang: str) -> str:
-    return rcount(clean, klangid.stopword_pattern(lang))
+def tokens_lower_sql(clean: str) -> str:
+    """Lowercased RE_WORD token list — compute once per row (CTE column)
+    and feed every stopword count."""
+    return f"regexp_extract_all(lower({clean}), {sql_lit(ktok.RE_WORD)})"
+
+
+def stopword_count_sql(toks: str, lang: str) -> str:
+    """Token-exact stopword hits from a token-list expression (kernel
+    ``langid.stopword_count`` spec)."""
+    ws = ", ".join(f"'{w}'" for w in klangid.STOPWORDS[lang])
+    return f"len(list_filter({toks}, t -> t IN ({ws})))"
 
 
 def langid_sql(clean: str) -> tuple[str, str]:

@@ -97,15 +97,16 @@ def _step_clean(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
 
 def _step_langid(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    # stopword counts materialise first (each regex runs once); the argmax/
-    # reliability projection then works on cheap int attributes
+    # one tokenization, then token-set membership counts (no per-language
+    # regex passes); the argmax projection works on cheap int attributes
     from .kernel import langid as klangid
 
+    df = df.withColumn("_sw_toks", X.tokens_lower_col(F.col("clean")))
     counts = {
-        f"_sw_{lg}": X.stopword_count_col(F.col("clean"), lg)
+        f"_sw_{lg}": X.stopword_count_from_tokens(F.col("_sw_toks"), lg)
         for lg in klangid.LANG_ORDER
     }
-    df = df.withColumns(counts)
+    df = df.withColumns(counts).drop("_sw_toks")
     hint = F.col(cfg.hint_lang_col) if cfg.hint_lang_col else None
     cnt_cols = {lg: F.col(f"_sw_{lg}") for lg in klangid.LANG_ORDER}
     if hint is not None:

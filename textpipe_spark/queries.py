@@ -142,13 +142,14 @@ def q_langid(spark, sf_dir):
 
 def _sql_langid_base() -> str:
     sw = ",\n       ".join(
-        f"{O.stopword_count_sql('clean', lg)} AS sw_{lg}" for lg in klangid.LANG_ORDER
+        f"{O.stopword_count_sql('toks', lg)} AS sw_{lg}" for lg in klangid.LANG_ORDER
     )
     return f"""
 WITH base AS (SELECT doc_id, {CLEAN} AS clean FROM documents),
+toked AS (SELECT doc_id, {O.tokens_lower_sql('clean')} AS toks FROM base),
 counts AS (SELECT doc_id,
        {sw}
-FROM base)"""
+FROM toked)"""
 
 
 def _sql_langid() -> str:
@@ -237,7 +238,8 @@ def _sql_keep_drop_base(extra_cols: str = "") -> str:
     total = " + ".join(counts)
     lang, _ = O.langid_sql("clean")
     sw = ", ".join(
-        f"{O.stopword_count_sql('clean', lg)} AS sw_{lg}" for lg in klangid.LANG_ORDER
+        f"{O.stopword_count_sql(O.tokens_lower_sql('clean'), lg)} AS sw_{lg}"
+        for lg in klangid.LANG_ORDER
     )
     reason = O.decision_sql("raw", "clean", "lang", "scrub_hits", CFG)
     ec = f"{extra_cols}, " if extra_cols else ""
@@ -658,7 +660,8 @@ def q_quality_score(spark, sf_dir):
 def _sql_quality_score() -> str:
     lang, _ = O.langid_sql("clean")
     sw = ", ".join(
-        f"{O.stopword_count_sql('clean', lg)} AS sw_{lg}" for lg in klangid.LANG_ORDER
+        f"{O.stopword_count_sql(O.tokens_lower_sql('clean'), lg)} AS sw_{lg}"
+        for lg in klangid.LANG_ORDER
     )
     score = (
         f"0.4 * least(CAST({O.nwords_sql('clean')} AS DOUBLE) / 100.0, 1.0) "
@@ -817,7 +820,7 @@ def q_langid_hinted(spark, sf_dir):
 
 def _sql_langid_hinted() -> str:
     sw = ", ".join(
-        f"({O.stopword_count_sql('clean', lg)} + CASE WHEN hint = '{lg}' THEN 1 ELSE 0 END) AS sw_{lg}"
+        f"({O.stopword_count_sql(O.tokens_lower_sql('clean'), lg)} + CASE WHEN hint = '{lg}' THEN 1 ELSE 0 END) AS sw_{lg}"
         for lg in klangid.LANG_ORDER
     )
     lang, reliable = O.langid_sql("clean")
