@@ -71,18 +71,26 @@ def main() -> None:
     n_rows = bench.ensure_corpus()
     corpus = bench.CORPUS_DIR
 
-    n_level = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
+    n_level = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
     levels = (n_level, n_level * 4)
+    # interleave the levels across trials: this host has intermittent CPU
+    # steal, and a sequential per-level block would bias whichever level
+    # runs during a noisy window; best-of over interleaved trials samples
+    # both levels under the same conditions
+    walls: dict[int, list[float]] = {c: [] for c in levels}
+    for _ in range(repeats):
+        for cores in levels:
+            r = run_level(cores, corpus, 1)
+            walls[cores].extend(r["walls"])
     results = {}
     for cores in levels:
-        r = run_level(cores, corpus, repeats)
-        best = min(r["walls"])
+        best = min(walls[cores])
         results[cores] = {
-            "walls": [round(w, 2) for w in r["walls"]],
+            "walls": [round(w, 2) for w in walls[cores]],
             "best_wall_s": round(best, 2),
             "files_per_sec": round(n_rows / best, 1),
         }
-        print(f"local[{cores}]: best {best:.2f}s = {n_rows/best:.0f} files/s  (all: {r['walls']})")
+        print(f"local[{cores}]: best {best:.2f}s = {n_rows/best:.0f} files/s  (all: {walls[cores]})")
 
     n, n4 = levels
     eff = (results[n4]["files_per_sec"] / results[n]["files_per_sec"]) / 4.0
