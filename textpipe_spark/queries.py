@@ -220,16 +220,18 @@ SQL_SCRUB = _sql_scrub()
 
 # ---------------------------------------------------------------- q: keep/drop
 
+def _labeled(spark, sf_dir):
+    """documents through the full optimised pipeline builder (chained
+    projections, compute-once intermediates) — shared by keep_drop,
+    drop_histogram and lineage_metrics."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    return build(df, PipelineConfig(raw_col="text", rules=CFG))
+
+
 def q_keep_drop(spark, sf_dir):
-    d = _docs(spark, sf_dir)
-    s = X.scrub_struct_col(F.col("clean"))
-    lid = X.langid_struct_col(F.col("clean"))
-    dec = X.decision_struct_col(
-        F.col("raw"), F.col("clean"), lid["lang"], s["total_hits"], CFG
-    )
-    return d.select(
-        "doc_id", dec["keep"].alias("keep"), dec["drop_reason"].alias("drop_reason")
-    )
+    return _labeled(spark, sf_dir).select("doc_id", "keep", "drop_reason")
 
 
 def _sql_keep_drop_base(extra_cols: str = "") -> str:
@@ -258,8 +260,11 @@ SELECT doc_id, drop_reason = '' AS keep, drop_reason FROM decided
 # ------------------------------------------------------------ q: drop histogram
 
 def q_drop_histogram(spark, sf_dir):
-    kd = q_keep_drop(spark, sf_dir)
-    return kd.groupBy("drop_reason").agg(F.count("*").cast("long").alias("n_docs"))
+    return (
+        _labeled(spark, sf_dir)
+        .groupBy("drop_reason")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
 
 
 SQL_DROP_HISTOGRAM = f"""{_sql_keep_drop_base()}
@@ -686,13 +691,7 @@ SQL_QUALITY_SCORE = _sql_quality_score()
 # ---------------------------------------------------------- q: lineage metrics
 
 def q_lineage_metrics(spark, sf_dir):
-    d = _docs(spark, sf_dir)
-    s = X.scrub_struct_col(F.col("clean"))
-    lid = X.langid_struct_col(F.col("clean"))
-    dec = X.decision_struct_col(
-        F.col("raw"), F.col("clean"), lid["lang"], s["total_hits"], CFG
-    )
-    rows = d.select("source", dec["drop_reason"].alias("drop_reason"))
+    rows = _labeled(spark, sf_dir).select("source", "drop_reason")
     aggs = [
         F.count("*").cast("long").alias("files_in"),
         F.sum(F.when(F.col("drop_reason") == "", 1).otherwise(0)).cast("long").alias("files_kept"),
