@@ -751,6 +751,10 @@ SQL_EMOJI = _sql_emoji()
 # ---------------------------------------------------- rows-only (model) queries
 
 def q_langid_model(spark, sf_dir):
+    """No SQL oracle: char-n-gram naive-Bayes model inference
+    (kernel/langid.py model tier) — log-prob accumulation over a trained
+    table, not expressible as a DuckDB one-liner. Covered instead by
+    kernel<->Spark parity tests (tests/test_spark_parity.py)."""
     d = _docs(spark, sf_dir)
     lid = udfs.langid_model_udf(F.col("clean"))
     return d.select(
@@ -762,23 +766,41 @@ def q_langid_model(spark, sf_dir):
 
 
 def q_perplexity_lm(spark, sf_dir):
+    """No SQL oracle: bigram-LM inference with backoff (kernel/lm.py);
+    covered by kernel<->Spark parity tests."""
     d = _docs(spark, sf_dir)
     return d.select(
         "doc_id", F.round(udfs.perplexity_udf(F.col("clean")), 3).alias("bigram_ppl")
     )
 
 
+def _render_num_array(col, sep=","):
+    """Array column -> deterministic string (the driver's comparator
+    canonicalises rows via pandas, which cannot hash list cells — every
+    driver-facing array output is rendered, CORRECTNESS_r01 lesson)."""
+    return F.array_join(F.transform(col, lambda x: x.cast("string")), sep)
+
+
 def q_minhash(spark, sf_dir):
+    """No SQL oracle: the signature needs sha1+64-bit modular permutation
+    arithmetic per token (kernel/minhash.py), not expressible in DuckDB SQL.
+    Rendered as a comma string so the driver records rows+schema."""
     d = _docs(spark, sf_dir)
-    return d.select("doc_id", udfs.minhash_udf(F.col("clean")).alias("minhash"))
+    return d.select(
+        "doc_id", _render_num_array(udfs.minhash_udf(F.col("clean"))).alias("minhash")
+    )
 
 
 def q_simhash(spark, sf_dir):
+    """No SQL oracle: 64-bit SimHash needs per-token sha1 bit arithmetic
+    (kernel/minhash.py:104); covered by kernel<->Spark parity tests."""
     d = _docs(spark, sf_dir)
     return d.select("doc_id", udfs.simhash_udf(F.col("clean")).alias("simhash"))
 
 
 def q_fingerprint(spark, sf_dir):
+    """No SQL oracle: winnowing needs a rolling min over sha1 k-gram hashes
+    (kernel/minhash.py:131); pinned by kernel unit tests instead."""
     d = _docs(spark, sf_dir)
     return d.select(
         "doc_id",
@@ -787,6 +809,10 @@ def q_fingerprint(spark, sf_dir):
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
+    """No SQL oracle: candidate generation hinges on the minhash band
+    hashes (sha1-based, see q_minhash); the exact-verify tier
+    (jaccard_pairs) IS oracle-checked, so the signature math is the only
+    un-oracled link and it is pinned by kernel tests."""
     from .dedup import minhash_lsh_pairs
 
     d = _docs(spark, sf_dir).select("doc_id", "clean")
@@ -794,6 +820,8 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 
 
 def q_simhash_dedup(spark, sf_dir):
+    """No SQL oracle: same sha1 bit arithmetic as q_simhash; the blocking
+    join logic is pytest-covered (tests/test_dedup.py)."""
     from .dedup import simhash_near_dup_pairs
 
     d = _docs(spark, sf_dir).select("doc_id", "clean")
@@ -979,7 +1007,9 @@ SQL_ENTITIES = _sql_entities()
 # ------------------------------------------- rows-only reference operators
 
 def q_keyterms(spark, sf_dir):
-    """TextRank keyterms (reference Keyterms, operation.py:246-270)."""
+    """TextRank keyterms (reference Keyterms, operation.py:246-270).
+    No SQL oracle: iterative PageRank over the co-occurrence graph
+    (kernel/textrank.py); pinned by kernel unit tests."""
     d = _docs(spark, sf_dir)
     kt = udfs.keyterms_udf(F.col("clean"))
     return d.select(
@@ -992,7 +1022,8 @@ def q_keyterms(spark, sf_dir):
 
 def q_summary(spark, sf_dir):
     """TextRank extractive summary (reference GensimTextRank,
-    operation.py:361-405)."""
+    operation.py:361-405). No SQL oracle: iterative sentence-graph
+    PageRank; pinned by kernel unit tests."""
     d = _docs(spark, sf_dir)
     return d.select(
         "doc_id", F.array_join(udfs.summary_udf(F.col("clean")), " | ").alias("summary")
@@ -1001,30 +1032,52 @@ def q_summary(spark, sf_dir):
 
 def q_doc_vector(spark, sf_dir):
     """Aggregated token vectors (reference DocumentVector,
-    operation.py:320-338)."""
+    operation.py:320-338). No SQL oracle: components come from per-token
+    sha256-seeded numpy draws (kernel/vectors.py:34). Rendered as a comma
+    string of 6-dp components (kernel rounds) for the driver comparator."""
     d = _docs(spark, sf_dir)
-    return d.select("doc_id", udfs.doc_vector_udf(F.col("clean")).alias("doc_vector"))
+    return d.select(
+        "doc_id",
+        _render_num_array(udfs.doc_vector_udf(F.col("clean"))).alias("doc_vector"),
+    )
 
 
 def q_doc_embedding(spark, sf_dir):
     """idf-weighted doc embedding (reference GensimDocumentEmbedding,
-    operation.py:341-358)."""
+    operation.py:341-358). No SQL oracle: same sha256-seeded vector table
+    as doc_vector. Rendered as a comma string."""
     d = _docs(spark, sf_dir)
     return d.select(
-        "doc_id", udfs.doc_embedding_udf(F.col("clean")).alias("doc_embedding")
+        "doc_id",
+        _render_num_array(udfs.doc_embedding_udf(F.col("clean"))).alias(
+            "doc_embedding"
+        ),
     )
 
 
 def q_words(spark, sf_dir):
-    """Tokens with offsets (reference Words, operation.py:104-118)."""
+    """Tokens with offsets (reference Words, operation.py:104-118).
+    No SQL oracle: DuckDB's regexp functions expose no match offsets.
+    Rendered 'token:offset' (RE_WORD tokens cannot contain ':')."""
     d = _docs(spark, sf_dir)
-    return d.select("doc_id", udfs.words_udf(F.col("clean")).alias("words"))
+    w = udfs.words_udf(F.col("clean"))
+    rendered = F.array_join(
+        F.transform(w, lambda e: F.concat_ws(":", e["token"], e["offset"])), ","
+    )
+    return d.select("doc_id", rendered.alias("words"))
 
 
 def q_sentences(spark, sf_dir):
-    """Sentences with offsets (reference Sentences, operation.py:165-183)."""
+    """Sentences with start offsets (reference Sentences,
+    operation.py:165-183). No SQL oracle: no match offsets in DuckDB SQL.
+    Rendered 'start@text' joined on the \\x1e record separator (sentence
+    text may contain any printable character)."""
     d = _docs(spark, sf_dir)
-    return d.select("doc_id", udfs.sentences_udf(F.col("clean")).alias("sentences"))
+    s = udfs.sentences_udf(F.col("clean"))
+    rendered = F.array_join(
+        F.transform(s, lambda e: F.concat_ws("@", e["start"], e["text"])), "\x1e"
+    )
+    return d.select("doc_id", rendered.alias("sentences"))
 
 
 def q_raw(spark, sf_dir):
@@ -1035,7 +1088,8 @@ def q_raw(spark, sf_dir):
 
 def q_word_vectors(spark, sf_dir):
     """Per-token vectors + norms + OOV flags (reference WordVectors,
-    operation.py:293-317), rendered as sorted token:flag:norm summary."""
+    operation.py:293-317), rendered as sorted token:flag:norm summary.
+    No SQL oracle: sha256-seeded numpy vector table (see q_doc_vector)."""
     d = _docs(spark, sf_dir)
     wv = udfs.word_vectors_udf(F.col("clean"))
     rendered = F.array_join(
@@ -1057,7 +1111,9 @@ def q_word_vectors(spark, sf_dir):
 
 def q_categories(spark, sf_dir):
     """Classifier-head probabilities per doc (reference Categories,
-    operation.py:430-448), rendered sorted for stable compare."""
+    operation.py:430-448), rendered sorted for stable compare.
+    No SQL oracle: naive-Bayes head over char n-grams (kernel/langid.py
+    categories); covered by kernel unit tests."""
     d = _docs(spark, sf_dir)
     cats = udfs.categories_udf(F.col("clean"))
     rendered = F.array_join(
@@ -1073,9 +1129,25 @@ def q_categories(spark, sf_dir):
 
 
 def q_emojis_annotated(spark, sf_dir):
-    """(emoji, name, sentiment) tuples (reference Doc.emojis)."""
+    """(emoji, name, sentiment) tuples (reference Doc.emojis, doc.py:260-280),
+    rendered 'emoji|name|sentiment_micro' in occurrence order; sentiment is
+    a micro-unit BIGINT so float formatting can never diverge between
+    engines."""
     d = _docs(spark, sf_dir)
-    return d.select("doc_id", udfs.emojis_udf(F.col("raw")).alias("emojis"))
+    e = udfs.emojis_udf(F.col("raw"))
+    rendered = F.array_join(
+        F.transform(
+            e,
+            lambda t: F.concat_ws(
+                "|",
+                t["emoji"],
+                t["name"],
+                F.round(t["sentiment"] * 1000000).cast("long").cast("string"),
+            ),
+        ),
+        ";",
+    )
+    return d.select("doc_id", rendered.alias("emojis"))
 
 
 def q_flagship(spark, sf_dir):
