@@ -79,8 +79,9 @@ def test_parity_minhash_perplexity(fixture_rows):
     for i, w in want.items():
         g = got[i]
         assert list(g["minhash"]) == list(w["minhash"]), f"doc {i} minhash"
-        wp = min(w["perplexity"], 1e9)
-        assert g["perplexity"] == pytest.approx(wp, rel=1e-12), f"doc {i} ppl"
+        # kernel defines the cap itself (kernel/lm.py PPL_CAP) — no
+        # test-side clamp: the kernel IS the spec
+        assert g["perplexity"] == pytest.approx(w["perplexity"], rel=1e-12), f"doc {i} ppl"
 
 
 def test_parity_on_documents_table(spark, documents):

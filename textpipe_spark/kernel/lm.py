@@ -53,16 +53,21 @@ class BigramLM:
         den = self.unigrams.get(prev, 0) + _K * (self.v + 1)
         return math.log(num / den)
 
+    # Token-less docs would be exp(-0/0)=inf; the kernel defines the spec
+    # (CLAUDE.md invariant 1), so the clamp lives HERE and the Spark UDF
+    # mirrors it verbatim (udfs.perplexity_udf).
+    PPL_CAP = 1e9
+
     def perplexity(self, text: str) -> float:
         toks = tokens_lower(text)
         if not toks:
-            return float("inf")
+            return self.PPL_CAP
         prev = BOS
         total = 0.0
         for w in toks:
             total += self.logp(prev, w)
             prev = w
-        return math.exp(-total / len(toks))
+        return min(math.exp(-total / len(toks)), self.PPL_CAP)
 
 
     def save(self, path: str) -> None:

@@ -390,15 +390,19 @@ FROM joined GROUP BY doc_id
 # -------------------------------------------------------- q: unigram perplexity
 
 def q_unigram_ppl(spark, sf_dir):
+    """Corpus-unigram-LM perplexity per doc. The corpus token total enters
+    the plan as a broadcast 1-row aggregate (crossJoin), NOT a driver-side
+    .count() action — one job, one scan+tokenize of the corpus feeding both
+    the frequency table and the per-doc average."""
     d = _docs(spark, sf_dir)
     toks = F.regexp_extract_all(F.lower(F.col("clean")), F.lit(ktok.RE_WORD), 0)
     tok_df = d.select("doc_id", F.explode(toks).alias("token"))
     freq = tok_df.groupBy("token").agg(F.count("*").alias("cnt"))
-    total = tok_df.count()
-    joined = tok_df.join(F.broadcast(freq), "token")
+    total = freq.agg(F.sum("cnt").cast("double").alias("_total"))
+    joined = tok_df.join(F.broadcast(freq), "token").crossJoin(F.broadcast(total))
     return joined.groupBy("doc_id").agg(
         F.round(
-            F.exp(-F.avg(F.log(F.col("cnt").cast("double") / F.lit(float(total))))),
+            F.exp(-F.avg(F.log(F.col("cnt").cast("double") / F.col("_total")))),
             2,
         ).alias("unigram_ppl")
     )
@@ -419,9 +423,15 @@ GROUP BY t.doc_id
 # ----------------------------------------------------- q: n-gram jaccard dedup
 
 JACCARD_THRESHOLD = 0.5
-# stop-shingle cap: shingles present in more than this many docs carry no
-# near-dup signal but dominate the self-join (cost ~ df² per shingle);
-# the operator is defined over rare shingles on BOTH engines identically
+# Stop-shingle cap: shingles present in more than this many docs carry no
+# near-dup signal but dominate the self-join — the operator is defined over
+# rare shingles on BOTH engines identically. Cost model (PLANS.md §jaccard):
+# pair-candidate work = Σ_shingle min(df, CAP)², so the worst case is
+# n_distinct_shingles × CAP² and does NOT grow quadratically with corpus
+# size; a pair is found iff it shares ≥1 sub-cap shingle, and near-dup
+# pairs always share many rare shingles. Tune CAP per corpus via the
+# df_cap parameter: larger CAP = more recall on boilerplate-heavy corpora,
+# quadratically more join work on the capped shingles.
 JACCARD_DF_CAP = 100
 
 
@@ -463,12 +473,12 @@ def _shingle_tokens(d):
     )
 
 
-def q_jaccard_pairs(spark, sf_dir):
+def q_jaccard_pairs(spark, sf_dir, df_cap: int = JACCARD_DF_CAP):
     d = _docs(spark, sf_dir)
     t_all = _shingle_tokens(d)
     df_counts = t_all.groupBy("token").agg(F.count("*").alias("df"))
     t = t_all.join(
-        F.broadcast(df_counts.where(F.col("df") <= JACCARD_DF_CAP).select("token")),
+        F.broadcast(df_counts.where(F.col("df") <= df_cap).select("token")),
         "token",
     )
     sizes = t.groupBy("doc_id").agg(F.count("*").alias("sz"))
@@ -524,8 +534,11 @@ SELECT CAST(doc1 AS BIGINT) AS doc1, CAST(doc2 AS BIGINT) AS doc2,
 FROM pairs
 JOIN sizes s1 ON s1.doc_id = doc1
 JOIN sizes s2 ON s2.doc_id = doc2
-WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= {JACCARD_THRESHOLD}
+WHERE round(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter), 4) >= {JACCARD_THRESHOLD}
 """
+# NOTE: the threshold filters on round(jaccard, 4) on BOTH engines — the
+# Spark side filters the rounded column, so an unrounded SQL filter would
+# diverge for true Jaccard in [threshold - 5e-5, threshold).
 
 
 # ------------------------------------------------------------------ q: ANN topk
@@ -866,7 +879,15 @@ SQL_LANGID_HINTED = _sql_langid_hinted()
 def q_event_window_metrics(spark, sf_dir):
     """Tumbling 1-hour event metrics (the streaming metrics shape run as a
     batch query; engine-level §2.3 metrics table over the events stream)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # The parquet ts column is timezone-naive (isAdjustedToUTC=false), the
+    # same thing DuckDB's TIMESTAMP is. Pin TIMESTAMP_NTZ explicitly: if a
+    # driver session disables NTZ inference, the column arrives as a
+    # session-tz instant and date_format would render session-dependently;
+    # the NTZ round-trip cast restores the naive wall-clock fields, making
+    # both windowing and rendering timezone-independent on ANY session.
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
     win = F.window(F.col("ts"), "1 hour")
     return (
         ev.groupBy(win.alias("w"), F.col("event_type"))
@@ -875,7 +896,9 @@ def q_event_window_metrics(spark, sf_dir):
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
         .select(
-            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
             "event_type",
             "n_events",
             "sum_value",

@@ -178,10 +178,13 @@ def knn_join_label(
 
     scored = queries.alias("q").crossJoin(vectors.alias("v")).select(
         F.col(f"q.{id_col}").alias("query_id"),
+        F.col(f"v.{id_col}").alias("corpus_id"),
         F.col(f"v.{label_col}").alias("label"),
         cosine_col(F.col(f"q.qvec"), F.col(f"v.{vec_col}")).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"))
+    # unique tie-break (corpus_id) — equal-cosine neighbours must select
+    # deterministically across runs (module rule; see brute_force_topk)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
     topk = scored.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
     return (
         topk.groupBy("query_id", "label")

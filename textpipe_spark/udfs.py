@@ -43,10 +43,8 @@ def langid_model_udf(clean: pd.Series) -> pd.DataFrame:
 
 @F.pandas_udf(T.DoubleType())
 def perplexity_udf(clean: pd.Series) -> pd.Series:
-    lm = klm.get_lm()
-    return pd.Series(
-        [min(lm.perplexity(t or ""), 1e9) for t in clean], dtype="float64"
-    )
+    lm = klm.get_lm()  # cap lives in the kernel (BigramLM.PPL_CAP)
+    return pd.Series([lm.perplexity(t or "") for t in clean], dtype="float64")
 
 
 @F.pandas_udf(T.ArrayType(T.LongType()))
