@@ -6,62 +6,135 @@ the drop-reason/lineage histograms. Generalises the reference's regex-
 substitution cleaning pattern (textpipe ``doc.py:210-216``) and rule-name
 tagging of ``Doc.match`` (``doc.py:246-258``) to a corpus scrubber.
 
-Patterns follow the tri-dialect rules in ``clean.py`` (Python re / Java / RE2).
-``\\b``, ``\\d`` and ``(?i)`` are supported by all three.
+Boundary semantics — why there is no ``\\b`` here
+-------------------------------------------------
+``\\b`` is NOT tri-dialect safe: Python ``re`` and Java treat it as
+Unicode-aware (``é1`` is not a boundary) while RE2/DuckDB is ASCII-only
+(``é1`` IS a boundary), so ``café127.0.0.1`` scrubs in DuckDB but not in
+Spark — a verified engine divergence. Word-boundary steps instead use an
+explicit ASCII guard, identical in all three dialects::
+
+    (^|[^0-9A-Za-z_]) ( body ) ([^0-9A-Za-z_]|$)
+
+with group-preserving replacements (``\\g<1>tok\\g<3>`` / ``$1tok$3`` /
+``\\1tok\\3``). Because the guard CONSUMES the boundary character, two
+occurrences separated by a single boundary char ("1.2.3.4 5.6.7.8",
+"fuck fuck") would leave every second one unmatched in one pass — so
+guarded steps run exactly TWO substitution passes. Two passes always
+suffice: in pass 1's left-to-right scan an occurrence is only skipped when
+the previous match consumed its lead character, so skipped occurrences are
+never adjacent to each other, and pass 2 sees each with both boundary
+chars intact (replacement tokens are <>-delimited, i.e. non-word).
+Hit counts are the total replacements across both passes, counted against
+the text state before each pass — all three dialects implement this
+identically (kernel ``scrub``, functions/text.py ``scrub_struct_col``,
+oracle.py ``scrub_chain_sql``).
+
+Remaining dialect rules follow ``clean.py`` (no \\p{}, no lookbehind/
+lookahead — RE2 has none, which is exactly why the guard is a consuming
+group and not a lookaround — explicit whitespace classes, (?i) only as a
+whole-pattern prefix: Python 3.11 rejects mid-pattern global flags).
 """
 
 from __future__ import annotations
 
 import re
+from typing import NamedTuple
 
-# name -> (pattern, replacement); ORDER IS SEMANTICS.
-SCRUB_STEPS: list[tuple[str, str, str]] = [
-    (
+GUARD_LEAD = r"(^|[^0-9A-Za-z_])"
+GUARD_TRAIL = r"([^0-9A-Za-z_]|$)"
+
+
+class ScrubStep(NamedTuple):
+    name: str
+    body: str  # the pattern for the thing itself, NO boundary guards;
+    #            must contain no capturing groups (use (?:...))
+    token: str  # replacement token, e.g. "<IP>"
+    guarded: bool  # wrap in ASCII boundary guard + run two passes
+    flags: str = ""  # whole-pattern prefix, e.g. "(?i)"
+
+
+# ORDER IS SEMANTICS.
+SCRUB_STEPS: list[ScrubStep] = [
+    ScrubStep(
         "email",
         r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
         "<EMAIL>",
+        guarded=False,
     ),
-    (
+    ScrubStep(
         "ipv6",
-        r"\b(?:[0-9A-Fa-f]{1,4}:){3,7}[0-9A-Fa-f]{1,4}\b",
+        r"(?:[0-9A-Fa-f]{1,4}:){3,7}[0-9A-Fa-f]{1,4}",
         "<IP>",
+        guarded=True,
     ),
-    (
+    ScrubStep(
         "ipv4",
-        r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+        r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
         "<IP>",
+        guarded=True,
     ),
-    (
+    ScrubStep(
         "aws_key",
-        r"\b(?:AKIA|ASIA)[0-9A-Z]{16}\b",
+        r"(?:AKIA|ASIA)[0-9A-Z]{16}",
         "<SECRET>",
+        guarded=True,
     ),
-    (
+    ScrubStep(
         "private_key",
         r"-----BEGIN [A-Z ]*PRIVATE KEY-----",
         "<SECRET>",
+        guarded=False,
     ),
-    (
+    ScrubStep(
         "api_token",
-        r"\b(?:ghp|gho|ghs|xoxb|xoxp)_[A-Za-z0-9]{10,}\b",
+        r"(?:ghp|gho|ghs|xoxb|xoxp)_[A-Za-z0-9]{10,}",
         "<SECRET>",
+        guarded=True,
     ),
-    (
+    ScrubStep(
         "hex_secret",
-        r"\b[0-9a-f]{40,}\b",
+        r"[0-9a-f]{40,}",
         "<SECRET>",
+        guarded=True,
     ),
-    (
+    ScrubStep(
         "toxicity",
-        r"(?i)\b(?:fuck[a-z]*|shit[a-z]*|bitch[a-z]*|asshole[a-z]*|bastard[a-z]*|cunt[a-z]*|"
-        r"nigger[a-z]*|faggot[a-z]*)\b",
+        r"(?:fuck[a-z]*|shit[a-z]*|bitch[a-z]*|asshole[a-z]*|bastard[a-z]*|cunt[a-z]*|"
+        r"nigger[a-z]*|faggot[a-z]*)",
         "<TOX>",
+        guarded=True,
+        flags="(?i)",
     ),
 ]
 
-SCRUB_NAMES = [name for name, _, _ in SCRUB_STEPS]
+SCRUB_NAMES = [s.name for s in SCRUB_STEPS]
 
-_COMPILED = [(name, re.compile(pat), rep) for name, pat, rep in SCRUB_STEPS]
+
+def full_pattern(step: ScrubStep) -> str:
+    """The complete pattern string — IDENTICAL in Python re / Java / RE2."""
+    if step.guarded:
+        return f"{step.flags}{GUARD_LEAD}({step.body}){GUARD_TRAIL}"
+    return f"{step.flags}{step.body}"
+
+
+def passes(step: ScrubStep) -> int:
+    return 2 if step.guarded else 1
+
+
+def py_replacement(step: ScrubStep) -> str:
+    return rf"\g<1>{step.token}\g<3>" if step.guarded else step.token
+
+
+def java_replacement(step: ScrubStep) -> str:
+    return f"$1{step.token}$3" if step.guarded else step.token
+
+
+def duckdb_replacement(step: ScrubStep) -> str:
+    return rf"\1{step.token}\3" if step.guarded else step.token
+
+
+_COMPILED = [(s, re.compile(full_pattern(s))) for s in SCRUB_STEPS]
 
 
 def scrub(text: str | None) -> tuple[str, dict[str, int]]:
@@ -69,7 +142,11 @@ def scrub(text: str | None) -> tuple[str, dict[str, int]]:
     if text is None:
         return "", {n: 0 for n in SCRUB_NAMES}
     counts: dict[str, int] = {}
-    for name, pat, rep in _COMPILED:
-        text, n = pat.subn(rep, text)
-        counts[name] = n
+    for step, pat in _COMPILED:
+        rep = py_replacement(step)
+        total = 0
+        for _ in range(passes(step)):
+            text, n = pat.subn(rep, text)
+            total += n
+        counts[step.name] = total
     return text, counts

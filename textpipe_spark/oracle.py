@@ -134,17 +134,23 @@ def langid_sql(clean: str) -> tuple[str, str]:
 
 
 def scrub_chain_sql(expr: str) -> tuple[list[str], str]:
-    """Returns ([count_expr per step computed on pre-step text], final_text).
+    """Returns ([count_expr per step computed on pre-pass text], final_text).
 
-    NOTE: count N is evaluated against the text state BEFORE step N — the
+    NOTE: count N is evaluated against the text state BEFORE pass N — the
     kernel's sequential ``subn`` semantics — so each count expr embeds the
-    chain of all previous replacements.
+    chain of all previous replacements; boundary-guarded steps contribute
+    two passes whose counts sum (kernel/scrub.py module doc).
     """
     cur = expr
     counts = []
-    for _, pat, rep in kscrub.SCRUB_STEPS:
-        counts.append(rcount(cur, pat))
-        cur = rr(cur, pat, rep)
+    for step in kscrub.SCRUB_STEPS:
+        pat = kscrub.full_pattern(step)
+        rep = kscrub.duckdb_replacement(step)
+        pass_counts = []
+        for _ in range(kscrub.passes(step)):
+            pass_counts.append(rcount(cur, pat))
+            cur = rr(cur, pat, rep)
+        counts.append(" + ".join(f"({c})" for c in pass_counts))
     return counts, cur
 
 

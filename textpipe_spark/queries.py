@@ -987,13 +987,20 @@ FROM pairs GROUP BY doc_id
 
 # ------------------------------------------------------ q: entities via match
 
-# rule-name -> pattern (the regex subset of reference ``Entities``/
-# ``Doc.match``, doc.py:220-258: span text + rule label, deduped)
+# rule-name -> (pattern, extraction group) — the regex subset of reference
+# ``Entities``/``Doc.match``, doc.py:220-258: span text + rule label, deduped.
+# Word-boundary rules use the kernel's ASCII guard (group 2 = the span) —
+# same tri-dialect reasoning as kernel/scrub.py; ``\b`` would diverge
+# between Java and RE2 on non-ASCII neighbours.
+def _guard2(body: str) -> tuple[str, int]:
+    return f"{kscrub.GUARD_LEAD}({body}){kscrub.GUARD_TRAIL}", 2
+
+
 MATCH_RULES = [
-    ("EMAIL", kscrub.SCRUB_STEPS[0][1]),
-    ("IPV4", kscrub.SCRUB_STEPS[2][1]),
-    ("URL", r"https?://[A-Za-z0-9./_%-]+"),
-    ("VERSION", r"\bv?[0-9]+\.[0-9]+(\.[0-9]+)?\b"),
+    ("EMAIL", kscrub.SCRUB_STEPS[0].body, 0),
+    ("IPV4", *_guard2(kscrub.SCRUB_STEPS[2].body)),
+    ("URL", r"https?://[A-Za-z0-9./_%-]+", 0),
+    ("VERSION", *_guard2(r"v?[0-9]+\.[0-9]+(?:\.[0-9]+)?")),
 ]
 
 
@@ -1001,10 +1008,10 @@ def q_entities(spark, sf_dir):
     d = _docs(spark, sf_dir)
     parts = [
         F.transform(
-            F.array_distinct(F.regexp_extract_all(F.col("clean"), F.lit(pat), 0)),
+            F.array_distinct(F.regexp_extract_all(F.col("clean"), F.lit(pat), g)),
             lambda m: F.concat_ws("|", F.lit(name), m),
         )
-        for name, pat in MATCH_RULES
+        for name, pat, g in MATCH_RULES
     ]
     ents = F.array_sort(F.flatten(F.array(*parts)))
     return d.select("doc_id", F.array_join(ents, ",").alias("entities"))
@@ -1012,9 +1019,9 @@ def q_entities(spark, sf_dir):
 
 def _sql_entities() -> str:
     parts = ", ".join(
-        f"list_transform(list_distinct(regexp_extract_all(clean, {sql_lit(pat)})), "
+        f"list_transform(list_distinct(regexp_extract_all(clean, {sql_lit(pat)}, {g})), "
         f"m -> '{name}' || '|' || m)"
-        for name, pat in MATCH_RULES
+        for name, pat, g in MATCH_RULES
     )
     return f"""
 WITH base AS (SELECT doc_id, {CLEAN} AS clean FROM documents)
@@ -1174,16 +1181,64 @@ def q_emojis_annotated(spark, sf_dir):
 
 
 def q_flagship(spark, sf_dir):
-    """Full keep/drop + scrub pipeline (the flagship job)."""
+    """Full keep/drop + scrub pipeline (the flagship job), through the
+    optimised pipeline builder. Counts cast to long so the DuckDB oracle
+    (_sql_flagship) type-matches exactly."""
     df = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
     )
     cfg = PipelineConfig(raw_col="text")
     out = build(df, cfg)
     return out.select(
-        "doc_id", "lang", "nwords", "keep", "drop_reason", "scrub_hits",
+        "doc_id",
+        "lang",
+        F.col("nwords").cast("long").alias("nwords"),
+        "keep",
+        "drop_reason",
+        F.col("scrub_hits").cast("long").alias("scrub_hits"),
         "scrubbed_sha256",
     )
+
+
+def _sql_flagship() -> str:
+    """DuckDB oracle for the flagship pipeline, including the length
+    pre-gate semantics: rows outside [min_chars, max_chars] keep clean=NULL
+    so every derived column (lang, nwords, scrub_hits, scrubbed_sha256) is
+    NULL and the decision comes from length alone — exactly the Spark
+    builder's F.when(len_ok, ...) gating (pipeline.py _len_ok) and the
+    kernel early-out (kernel/doc.py process)."""
+    counts, final = O.scrub_chain_sql("clean")
+    total = " + ".join(counts)
+    lang, _ = O.langid_sql("clean")
+    sw = ", ".join(
+        f"{O.stopword_count_sql(O.tokens_lower_sql('clean'), lg)} AS sw_{lg}"
+        for lg in klangid.LANG_ORDER
+    )
+    reason = O.decision_sql("raw", "clean", "lang", "scrub_hits", CFG)
+    return f"""
+WITH base AS (SELECT doc_id, {RAW} AS raw FROM documents),
+gated AS (SELECT doc_id, raw,
+       CASE WHEN length(raw) >= {CFG.min_chars} AND length(raw) <= {CFG.max_chars}
+            THEN {O.clean_sql('raw')} END AS clean
+FROM base),
+counts AS (SELECT doc_id, raw, clean, {sw},
+       CAST({total} AS BIGINT) AS scrub_hits,
+       {final} AS scrubbed
+FROM gated),
+langed AS (SELECT doc_id, raw, clean, scrub_hits, scrubbed, {lang} AS lang FROM counts),
+decided AS (SELECT doc_id, lang,
+       CAST({O.nwords_sql('clean')} AS BIGINT) AS nwords,
+       scrub_hits,
+       sha256(scrubbed) AS scrubbed_sha256,
+       {reason} AS drop_reason
+FROM langed)
+SELECT doc_id, lang, nwords, drop_reason = '' AS keep, drop_reason,
+       scrub_hits, scrubbed_sha256
+FROM decided
+"""
+
+
+SQL_FLAGSHIP = _sql_flagship()
 
 
 # ------------------------------------------------------------------- registry
@@ -1264,4 +1319,5 @@ ORACLES: dict[str, str] = {
     "raw": "SELECT doc_id, coalesce(text, '') AS raw FROM documents",
     "event_window_metrics": SQL_EVENT_WINDOW_METRICS,
     "revenue_by_segment": SQL_REVENUE_BY_SEGMENT,
+    "flagship": SQL_FLAGSHIP,
 }
