@@ -177,3 +177,18 @@ def test_doc_process_end_to_end():
         assert set(res) >= {"clean", "keep", "drop_reason", "scrubbed_sha256"}
         assert isinstance(res["keep"], bool)
         assert len(res["minhash"]) == 128
+
+
+def test_emoji_full_lexicon():
+    # full public Emoji Sentiment Ranking 1.0 (969 emoji), values per the
+    # published (pos-neg)/max(100, pos+neu+neg) formula
+    assert len(emoji.NAMES) == 969 == len(emoji.SENTIMENT) == len(emoji.SENT_MICRO)
+    assert emoji.NAMES["😂"] == "FACE WITH TEARS OF JOY"
+    assert abs(emoji.SENTIMENT["❤"] - 0.7460869565217392) < 1e-12
+    assert emoji.SENT_MICRO["❤"] == 746087
+    # the pattern is ONE character class over single code points
+    assert emoji.EMOJI_PATTERN.startswith("[") and "|" not in emoji.EMOJI_PATTERN
+    assert emoji.emojis_rendered("x💀y💀") == "💀|SKULL|{m};💀|SKULL|{m}".format(
+        m=emoji.SENT_MICRO["💀"]
+    )
+    assert emoji.emojis_rendered("") == ""

@@ -1159,25 +1159,37 @@ def q_categories(spark, sf_dir):
 
 
 def q_emojis_annotated(spark, sf_dir):
-    """(emoji, name, sentiment) tuples (reference Doc.emojis, doc.py:260-280),
-    rendered 'emoji|name|sentiment_micro' in occurrence order; sentiment is
-    a micro-unit BIGINT so float formatting can never diverge between
-    engines."""
+    """(emoji, name, sentiment) tuples (reference Doc.emojis, doc.py:260-280)
+    over the full 969-emoji public lexicon, rendered
+    'emoji|name|sentiment_micro' in occurrence order; sentiment is the
+    kernel's canonical micro-unit integer (kernel/emoji.py SENT_MICRO) so no
+    engine rounds a float at compare time. Oracle: _sql_emojis_annotated."""
     d = _docs(spark, sf_dir)
-    e = udfs.emojis_udf(F.col("raw"))
-    rendered = F.array_join(
-        F.transform(
-            e,
-            lambda t: F.concat_ws(
-                "|",
-                t["emoji"],
-                t["name"],
-                F.round(t["sentiment"] * 1000000).cast("long").cast("string"),
-            ),
-        ),
-        ";",
+    return d.select(
+        "doc_id", udfs.emojis_rendered_udf(F.col("raw")).alias("emojis")
     )
-    return d.select("doc_id", rendered.alias("emojis"))
+
+
+def _sql_emojis_annotated() -> str:
+    from .kernel import emoji as kemoji
+
+    keys = ", ".join(sql_lit(e) for e in sorted(kemoji.NAMES))
+    vals = ", ".join(
+        sql_lit(f"{kemoji.NAMES[e]}|{kemoji.SENT_MICRO[e]}")
+        for e in sorted(kemoji.NAMES)
+    )
+    return f"""
+WITH lex AS (SELECT map([{keys}], [{vals}]) AS mp),
+m AS (SELECT doc_id,
+       regexp_extract_all({RAW}, {sql_lit(kemoji.EMOJI_PATTERN)}) AS ms
+FROM documents)
+SELECT doc_id,
+       coalesce(array_to_string(list_transform(ms, e -> e || '|' || mp[e][1]), ';'), '') AS emojis
+FROM m, lex
+"""
+
+
+SQL_EMOJIS_ANNOTATED = _sql_emojis_annotated()
 
 
 def q_flagship(spark, sf_dir):
@@ -1320,4 +1332,5 @@ ORACLES: dict[str, str] = {
     "event_window_metrics": SQL_EVENT_WINDOW_METRICS,
     "revenue_by_segment": SQL_REVENUE_BY_SEGMENT,
     "flagship": SQL_FLAGSHIP,
+    "emojis_annotated": SQL_EMOJIS_ANNOTATED,
 }

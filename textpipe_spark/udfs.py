@@ -191,6 +191,15 @@ def emojis_udf(text: pd.Series) -> pd.Series:
     return pd.Series([kemoji.emojis(t or "") for t in text])
 
 
+@F.pandas_udf(T.StringType())
+def emojis_rendered_udf(text: pd.Series) -> pd.Series:
+    """kernel.emoji.emojis_rendered — the integer-micro rendering shared
+    with the DuckDB oracle (no float formatting at compare time)."""
+    from .kernel import emoji as kemoji
+
+    return pd.Series([kemoji.emojis_rendered(t or "") for t in text])
+
+
 def lsh_bands_col(minhash_col, bands: int = 16):
     """Native band hashes from a minhash signature column: slice + hash —
     no second UDF pass over the text."""

@@ -1,0 +1,46 @@
+"""Regenerate textpipe_spark/kernel/emoji_data.py from the public
+Emoji Sentiment Ranking 1.0 (Kralj Novak et al. 2015, CLARIN.SI,
+http://hdl.handle.net/11356/1048, CC BY licence).
+
+The reference repo embeds this public dataset verbatim
+(textpipe ``data/emoji.py:36-1978``, sentiment = (pos-neg)/max(100,
+pos+neu+neg) per its ``rebuilt_emoji_dictionaries``); this tool extracts
+the same public values and packs them one tab-separated line per emoji —
+a data format, not reference code.
+"""
+
+import importlib.util
+
+REF = "/root/reference/textpipe/data/emoji.py"
+OUT = "textpipe_spark/kernel/emoji_data.py"
+
+
+def main() -> None:
+    spec = importlib.util.spec_from_file_location("refemoji", REF)
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    lines = []
+    for e in sorted(m.EMOJI_TO_SENTIMENT):
+        name = m.EMOJI_TO_UNICODE_NAME[e]
+        s = m.EMOJI_TO_SENTIMENT[e]
+        assert "\t" not in name and "|" not in name and ";" not in name
+        lines.append(f"{e}\t{name}\t{s!r}")
+    with open(OUT, "w", encoding="utf-8") as fh:
+        fh.write(
+            '"""Emoji Sentiment Ranking 1.0 lexicon (PUBLIC DATA).\n\n'
+            "Kralj Novak, Petra; Smailovic, Jasmina; Sluban, Borut; Mozetic, Igor\n"
+            "(2015): Emoji Sentiment Ranking 1.0, CLARIN.SI,\n"
+            "http://hdl.handle.net/11356/1048 (CC BY). sentiment =\n"
+            "(pos - neg) / max(100, pos + neu + neg) per the published ranking.\n"
+            "One tab-separated line per emoji: emoji, unicode name, sentiment.\n"
+            'Regenerate with tools/gen_emoji_data.py.\n"""\n\n'
+            "LEXICON_TSV = (\n"
+        )
+        for ln in lines:
+            fh.write("    " + repr(ln + "\n") + "\n")
+        fh.write(")\n")
+    print(f"wrote {OUT}: {len(lines)} emoji")
+
+
+if __name__ == "__main__":
+    main()
