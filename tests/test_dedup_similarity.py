@@ -85,3 +85,28 @@ def test_knn_join_label(spark, emb):
     assert len(out) == 3
     for r in out:
         assert r["knn_label"] is not None and r["votes"] >= 1
+
+
+def test_blocked_cosine_pairs_exact(spark, emb):
+    """The blocked matmul join must equal a numpy all-pairs reference
+    (same round(cos,4) >= thr semantics as the DuckDB oracle)."""
+    import numpy as np
+
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    n = V / np.linalg.norm(V, axis=1, keepdims=True)
+    C = np.round(n @ n.T, 4)
+    thr = 0.42
+    iu = np.triu_indices(len(V), 1)
+    want = {
+        (int(ids[a]), int(ids[b]), float(C[a, b]))
+        for a, b in zip(*iu)
+        if C[a, b] >= thr
+    }
+
+    got_rows = similarity.blocked_cosine_pairs(emb, threshold=thr, n_blocks=4).collect()
+    got = {(r["id1"], r["id2"], r["cosine"]) for r in got_rows}
+    assert got == want
+    # count() must agree with collect() (cogroup pruning regression guard)
+    assert similarity.blocked_cosine_pairs(emb, threshold=thr, n_blocks=4).count() == len(want)

@@ -581,30 +581,16 @@ EMB_DUP_THRESHOLD = 0.42
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (brute-force verify tier; the
-    LSH-bucketed tier is similarity.lsh_topk). Vectors are L2-normalised
-    ONCE per row before the self-join, so each of the O(n²) pairs costs a
-    single dot fold instead of dot + two norm folds (35s -> seconds at
-    sf0.1). Same normalise-then-dot formula in the DuckDB oracle."""
-    emb = _emb(spark, sf_dir).select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
-    emb = emb.withColumn("_nrm", V.norm_col(F.col("v"))).where(F.col("_nrm") > 0)
-    emb = emb.select(
-        "vec_id",
-        F.transform("v", lambda x: x / F.col("_nrm")).alias("vn"),
-    )
-    a = emb.select(F.col("vec_id").alias("id1"), F.col("vn").alias("v1"))
-    b = emb.select(F.col("vec_id").alias("id2"), F.col("vn").alias("v2"))
-    pairs = a.crossJoin(b).where(F.col("id1") < F.col("id2"))
-    cos = F.round(V.dot_col(F.col("v1"), F.col("v2")), 4)
-    return (
-        pairs.select(
-            F.col("id1").cast("long").alias("id1"),
-            F.col("id2").cast("long").alias("id2"),
-            cos.alias("cosine"),
-        )
-        .where(F.col("cosine") >= EMB_DUP_THRESHOLD)
+    """Embedding-cosine near-duplicate pairs via the EXACT distributed
+    block join (similarity.blocked_cosine_pairs): rows hash into blocks,
+    each block-pair cogroup computes its dot block as one numpy matmul —
+    equi-joins only, no CartesianProduct/BroadcastNestedLoopJoin, per-task
+    memory bounded by the block size. Output identical to the all-pairs
+    DuckDB oracle (round(cos,4) >= threshold on both engines)."""
+    from .similarity import blocked_cosine_pairs
+
+    return blocked_cosine_pairs(
+        _emb(spark, sf_dir), threshold=EMB_DUP_THRESHOLD, n_blocks=8
     )
 
 
