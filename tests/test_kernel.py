@@ -192,3 +192,14 @@ def test_emoji_full_lexicon():
         m=emoji.SENT_MICRO["💀"]
     )
     assert emoji.emojis_rendered("") == ""
+
+
+def test_minhash_reference_parity():
+    """Pin the reference's own doctest values (textpipe doc.py:462-465,
+    485-489): datasketch MinHash(seed=1, 128 perms, sha1 32-bit hash) over
+    word unigrams. Reproducing these exactly proves hash family, permutation
+    table AND draw order all match the reference implementation."""
+    sig1 = minhash.minhash_unigrams("Sentence for computing the minhash")
+    assert sig1[:5] == [407326892, 814360600, 1099082245, 1176349439, 1735256]
+    sig2 = minhash.minhash_unigrams("Sentence for computing the similarity")
+    assert minhash.jaccard_estimate(sig1, sig2) == 0.7265625

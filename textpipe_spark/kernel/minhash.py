@@ -28,9 +28,21 @@ _SEED = 1  # datasketch's default permutation seed concept; fixed
 
 
 def _permutations(num_perm: int = NUM_PERM, seed: int = _SEED):
+    """datasketch-compatible permutation table: (a, b) drawn INTERLEAVED
+    per permutation from one RandomState stream — the draw order matters,
+    and this order reproduces the reference's pinned digests exactly
+    (doc.py:462-465: [407326892, 814360600, ...] and the 0.7265625
+    similarity, verified in tests/test_kernel.py)."""
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    pairs = [
+        (
+            rng.randint(1, _MERSENNE, dtype=np.uint64),
+            rng.randint(0, _MERSENNE, dtype=np.uint64),
+        )
+        for _ in range(num_perm)
+    ]
+    a = np.array([p[0] for p in pairs], dtype=np.uint64)
+    b = np.array([p[1] for p in pairs], dtype=np.uint64)
     return a, b
 
 
@@ -78,6 +90,15 @@ def shingles(text: str, k: int = SHINGLE_K) -> list[str]:
 
 def minhash_text(text: str, num_perm: int = NUM_PERM, k: int = SHINGLE_K) -> list[int]:
     return minhash_signature(shingles(text, k), num_perm)
+
+
+def minhash_unigrams(text: str, num_perm: int = NUM_PERM) -> list[int]:
+    """Reference-parity mode: hash word UNIGRAMS, not shingles, preserving
+    case — the reference's ``find_minhash`` updates the sketch with each
+    (spaCy) word token verbatim (doc.py:469-478). Shingles stay the dedup
+    default (``minhash_text``); this mode exists so ``Doc.minhash`` /
+    ``Doc.similarity`` digests match the reference bit-for-bit."""
+    return minhash_signature(_WORD.findall(text or ""), num_perm)
 
 
 def jaccard_estimate(sig1: list[int], sig2: list[int]) -> float:
