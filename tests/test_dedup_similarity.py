@@ -87,6 +87,30 @@ def test_knn_join_label(spark, emb):
         assert r["knn_label"] is not None and r["votes"] >= 1
 
 
+def test_knn_blocked_matches_brute(spark, emb):
+    """The blocked local-top-k kNN must produce the SAME labels and votes
+    as the crossJoin verifier tier for every query."""
+    queries = (
+        emb.where(F.col("vec_id") % 37 == 0)
+        .select(F.col("vec_id"), F.col("embedding").alias("qvec"))
+    )
+    brute = {
+        r["query_id"]: (r["knn_label"], r["votes"])
+        for r in similarity.knn_join_label_brute(emb, queries, k=5).collect()
+    }
+    blocked = {
+        r["query_id"]: (r["knn_label"], r["votes"])
+        for r in similarity.knn_join_label(emb, queries, k=5, n_blocks=4).collect()
+    }
+    assert brute == blocked and len(brute) > 0
+    # no CartesianProduct/BNLJ in the blocked plan
+    plan = (
+        similarity.knn_join_label(emb, queries, k=5, n_blocks=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
 def test_blocked_cosine_pairs_exact(spark, emb):
     """The blocked matmul join must equal a numpy all-pairs reference
     (same round(cos,4) >= thr semantics as the DuckDB oracle)."""

@@ -251,29 +251,9 @@ def blocked_cosine_pairs(
     )
 
 
-def knn_join_label(
-    vectors: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    label_col: str = "label",
-) -> DataFrame:
-    """Batch k-NN majority-vote classification: every query row gets the
-    majority label of its k nearest corpus vectors (window top-k per query,
-    one shuffle)."""
+def _majority_vote(topk: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
-    scored = queries.alias("q").crossJoin(vectors.alias("v")).select(
-        F.col(f"q.{id_col}").alias("query_id"),
-        F.col(f"v.{id_col}").alias("corpus_id"),
-        F.col(f"v.{label_col}").alias("label"),
-        cosine_col(F.col(f"q.qvec"), F.col(f"v.{vec_col}")).alias("cosine"),
-    )
-    # unique tie-break (corpus_id) — equal-cosine neighbours must select
-    # deterministically across runs (module rule; see brute_force_topk)
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
-    topk = scored.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
     return (
         topk.groupBy("query_id", "label")
         .agg(F.count("*").alias("votes"), F.max("cosine").alias("best_cos"))
@@ -288,3 +268,110 @@ def knn_join_label(
         .where(F.col("_rk") == 1)
         .select("query_id", F.col("label").alias("knn_label"), "votes")
     )
+
+
+def knn_join_label_brute(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Small-n VERIFIER tier: full crossJoin k-NN majority vote. Exact by
+    construction; use only when |queries|×|corpus| is driver-checkable —
+    the scale path is ``knn_join_label`` (blocked local-top-k join)."""
+    from pyspark.sql import Window
+
+    scored = queries.alias("q").crossJoin(vectors.alias("v")).select(
+        F.col(f"q.{id_col}").alias("query_id"),
+        F.col(f"v.{id_col}").alias("corpus_id"),
+        F.col(f"v.{label_col}").alias("label"),
+        cosine_col(F.col("q.qvec"), F.col(f"v.{vec_col}")).alias("cosine"),
+    )
+    # unique tie-break (corpus_id) — equal-cosine neighbours must select
+    # deterministically across runs (module rule; see brute_force_topk)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    topk = scored.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    return _majority_vote(topk)
+
+
+def knn_join_label(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_blocks: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Batch k-NN majority-vote classification, EXACT, no crossJoin:
+    map-side local top-k + reduce-side global top-k.
+
+    The corpus hashes into ``n_blocks`` blocks; queries replicate to every
+    block (shuffle = corpus×1 + queries×B rows — queries are the small
+    side). Each block group computes its query×block cosine matrix as one
+    Arrow-batched numpy matmul and emits only its LOCAL top-k per query
+    (k·B candidate rows per query, not |corpus|), then a window selects
+    the global top-k. Identical output to knn_join_label_brute (pytest
+    pins this); per-task memory is (|block| + |queries|)·dim·8 bytes —
+    pick n_blocks ≈ corpus/2e5 at scale.
+    """
+    from pyspark.sql import Window
+
+    c = vectors.select(
+        F.lit(0).alias("_side"),
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("_label"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("_blk"),
+    )
+    q = queries.select(
+        F.lit(1).alias("_side"),
+        F.col(id_col).alias("_id"),
+        F.lit(None).cast(c.schema["_label"].dataType).alias("_label"),
+        F.transform("qvec", lambda x: x.cast("double")).alias("_v"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("_blk"),
+    )
+    both = c.unionByName(q)
+    kk = int(k)
+
+    def local_topk(key, pdf):
+        corpus = pdf[pdf["_side"] == 0]
+        qs = pdf[pdf["_side"] == 1]
+        if not len(corpus) or not len(qs):
+            return pd.DataFrame(
+                {"query_id": [], "corpus_id": [], "label": [], "cosine": []}
+            )
+        C = np.vstack(corpus["_v"].to_numpy())
+        Q = np.vstack(qs["_v"].to_numpy())
+        cn = np.linalg.norm(C, axis=1)
+        qn = np.linalg.norm(Q, axis=1)
+        cn[cn == 0] = 1.0
+        qn[qn == 0] = 1.0
+        S = (Q / qn[:, None]) @ (C / cn[:, None]).T  # (nq, nc)
+        cid = corpus["_id"].to_numpy()
+        lab = corpus["_label"].to_numpy()
+        qid = qs["_id"].to_numpy()
+        top = min(kk, S.shape[1])
+        # local top-k with (desc cosine, asc corpus_id) tie-break via lexsort
+        order = np.lexsort((np.broadcast_to(cid, S.shape), -S), axis=-1)[:, :top]
+        rows = np.repeat(np.arange(S.shape[0]), top)
+        cols = order.ravel()
+        return pd.DataFrame(
+            {
+                "query_id": qid[rows],
+                "corpus_id": cid[cols],
+                "label": lab[cols],
+                "cosine": S[rows, cols],
+            }
+        )
+
+    lbl_t = vectors.schema[label_col].dataType.simpleString()
+    cand = both.groupBy("_blk").applyInPandas(
+        local_topk,
+        f"query_id long, corpus_id long, label {lbl_t}, cosine double",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    topk = cand.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    return _majority_vote(topk)
