@@ -203,3 +203,12 @@ def test_minhash_reference_parity():
     assert sig1[:5] == [407326892, 814360600, 1099082245, 1176349439, 1735256]
     sig2 = minhash.minhash_unigrams("Sentence for computing the similarity")
     assert minhash.jaccard_estimate(sig1, sig2) == 0.7265625
+
+
+def test_html_entities_bs4_faithful():
+    # decode to the Unicode char, then downstream normalisation applies;
+    # &amp; decodes LAST so '&amp;lt;' renders literally as '&lt;' like bs4
+    assert clean.clean_text("a&hellip;b") == "a...b"
+    assert clean.clean_text("it&rsquo;s &ldquo;q&rdquo;") == "it's \"q”"
+    assert clean.clean_text("&amp;lt;") == "&lt;"
+    assert clean.clean_text("5&deg; &euro;9 &copy;x") == "5° €9 ©x"

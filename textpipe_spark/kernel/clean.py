@@ -38,14 +38,37 @@ RE_HTML_COMMENT = r"<!--.*?-->"
 RE_HTML_SCRIPT = r"(?is)<(script|style)[^>]*>.*?</(script|style)>"
 RE_HTML_TAG = r"(?s)</?[A-Za-z!][^>]*>"
 
-# Minimal HTML entity set (engine spec; covers the generator's injections).
+# Named-entity set (engine spec). Entities decode to their Unicode
+# characters exactly as bs4 would (doc.py:206); downstream quote/ellipsis
+# normalisation then applies to the decoded char like any other input.
+# ``&amp;`` decodes LAST: bs4 renders '&amp;lt;' as the literal text
+# '&lt;', which only falls out if no more entity decoding follows.
+# Each entry is one byte-level F.replace pass in Spark — extend freely,
+# the chain shape is O(#entities) scans with no regex engine involved.
 HTML_ENTITIES = [
     ("&nbsp;", " "),
-    ("&amp;", "&"),
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&quot;", '"'),
     ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&hellip;", "…"),
+    ("&mdash;", "—"),
+    ("&ndash;", "–"),
+    ("&lsquo;", "‘"),
+    ("&rsquo;", "’"),
+    ("&ldquo;", "“"),
+    ("&rdquo;", "”"),
+    ("&laquo;", "«"),
+    ("&raquo;", "»"),
+    ("&middot;", "·"),
+    ("&copy;", "©"),
+    ("&reg;", "®"),
+    ("&trade;", "™"),
+    ("&deg;", "°"),
+    ("&euro;", "€"),
+    ("&pound;", "£"),
+    ("&amp;", "&"),
 ]
 
 # The three Blendle-style regexes, verbatim from the reference
