@@ -212,3 +212,16 @@ def test_html_entities_bs4_faithful():
     assert clean.clean_text("it&rsquo;s &ldquo;q&rdquo;") == "it's \"q”"
     assert clean.clean_text("&amp;lt;") == "&lt;"
     assert clean.clean_text("5&deg; &euro;9 &copy;x") == "5° €9 ©x"
+
+
+def test_sentiment_multilang_gating():
+    # supported langs score with their own lexicon; others -> None (the
+    # corpus analogue of the reference's raise for unsupported languages)
+    assert sentiment.sentiment_lang("c'est un excellent jour", "fr")[0] > 0
+    assert sentiment.sentiment_lang("dit is geweldig en mooi", "nl")[0] > 0
+    assert sentiment.sentiment_lang("ottimo lavoro davvero", "it")[0] > 0
+    assert sentiment.sentiment_lang("das ist gut", "de") is None
+    assert sentiment.sentiment_lang("whatever", "un") is None
+    assert sentiment.sentiment_lang("", "en") == (0.0, 0.0)
+    # en tier unchanged
+    assert sentiment.sentiment("good great") == sentiment.sentiment_lang("good great", "en")

@@ -21,16 +21,52 @@ POLARITY: dict[str, float] = {
     "slow": -0.4, "bug": -0.3, "broken": -0.6, "fail": -0.5, "dirty": -0.3,
 }
 
+# Per-language lexicons — the reference's supported set is exactly
+# en/nl/fr/it (``pattern`` library, doc.py:374-403, raising otherwise).
+LEXICONS: dict[str, dict[str, float]] = {
+    "en": POLARITY,
+    "nl": {
+        "goed": 0.7, "geweldig": 0.8, "mooi": 0.6, "snel": 0.4, "blij": 0.8,
+        "beste": 1.0, "fijn": 0.6, "slecht": -0.7, "verschrikkelijk": -1.0,
+        "traag": -0.4, "kapot": -0.6, "fout": -0.5, "haat": -0.8,
+    },
+    "fr": {
+        "bon": 0.7, "bien": 0.6, "excellent": 1.0, "rapide": 0.4,
+        "heureux": 0.8, "meilleur": 1.0, "aime": 0.5, "mauvais": -0.7,
+        "terrible": -1.0, "lent": -0.4, "cassé": -0.6, "bogue": -0.3,
+        "déteste": -0.8,
+    },
+    "it": {
+        "buono": 0.7, "ottimo": 0.9, "eccellente": 1.0, "veloce": 0.4,
+        "felice": 0.8, "migliore": 1.0, "cattivo": -0.7, "terribile": -1.0,
+        "lento": -0.4, "rotto": -0.6, "errore": -0.3, "odio": -0.8,
+    },
+}
+SUPPORTED_LANGS = tuple(sorted(LEXICONS))
+
 _WORD = re.compile(RE_WORD)
 
 
 def sentiment(clean: str) -> tuple[float, float]:
     """(polarity, subjectivity): mean lexicon polarity over matched tokens,
-    subjectivity = matched/total tokens. (0.0, 0.0) when no tokens match."""
+    subjectivity = matched/total tokens. (0.0, 0.0) when no tokens match.
+    English lexicon (the single-lexicon tier)."""
+    out = sentiment_lang(clean, "en")
+    assert out is not None
+    return out
+
+
+def sentiment_lang(clean: str, lang: str) -> tuple[float, float] | None:
+    """Language-gated sentiment. The reference RAISES for languages outside
+    en/nl/fr/it (doc.py:374-403); the corpus operator returns None instead
+    (a NULL column cell), which is the row-wise analogue."""
+    lex = LEXICONS.get(lang)
+    if lex is None:
+        return None
     toks = [t.lower() for t in _WORD.findall(clean or "")]
     if not toks:
         return 0.0, 0.0
-    hits = [POLARITY[t] for t in toks if t in POLARITY]
+    hits = [lex[t] for t in toks if t in lex]
     if not hits:
         return 0.0, 0.0
     return sum(hits) / len(hits), len(hits) / len(toks)

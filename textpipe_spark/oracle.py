@@ -181,3 +181,14 @@ def sentiment_lexicon_values() -> str:
         f"('{tok}', {int(round(pol * 10))})" for tok, pol in sorted(ksent.POLARITY.items())
     )
     return f"(VALUES {rows}) AS lex(token, pol10)"
+
+
+def sentiment_lexicon_values_multilang() -> str:
+    """(lang, token, pol10) VALUES over every supported lexicon — same
+    integer deci-polarity discipline as the single-lexicon table."""
+    rows = ", ".join(
+        f"('{lg}', '{tok}', {int(round(pol * 10))})"
+        for lg, lex in sorted(ksent.LEXICONS.items())
+        for tok, pol in sorted(lex.items())
+    )
+    return f"(VALUES {rows}) AS lex(lang, token, pol10)"

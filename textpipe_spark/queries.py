@@ -387,6 +387,91 @@ FROM joined GROUP BY doc_id
 """
 
 
+# ------------------------------------------------- q: multilang sentiment
+
+def q_sentiment_multilang(spark, sf_dir):
+    """Language-gated sentiment (reference supports exactly en/nl/fr/it and
+    RAISES otherwise, doc.py:374-403): lexicon selected per doc by the
+    detected language via a broadcast (lang, token) join; docs in
+    unsupported languages get NULL polarity/subjectivity — the corpus
+    analogue of the reference's raise (kernel.sentiment.sentiment_lang)."""
+    d = _docs(spark, sf_dir)
+    lid = X.langid_struct_col(F.col("clean"))
+    toks = F.regexp_extract_all(F.lower(F.col("clean")), F.lit(ktok.RE_WORD), 0)
+    # lang materialised in its OWN projection: a generator (explode) in the
+    # same select makes Spark rebuild the langid struct as CreateStruct,
+    # dropping the field aliases (observed on 4.1: 'col1','col2')
+    langed = d.select("doc_id", "clean", lid["lang"].alias("lang"))
+    base = langed.select("doc_id", "lang", F.explode_outer(toks).alias("token"))
+    rows = [
+        (lg, t, int(round(p * 10)))
+        for lg, lex in sorted(ksent.LEXICONS.items())
+        for t, p in sorted(lex.items())
+    ]
+    lex = F.broadcast(
+        spark.createDataFrame(rows, "lang string, token string, pol10 long")
+    )
+    grouped = base.join(lex, ["lang", "token"], "left").groupBy("doc_id", "lang").agg(
+        F.when(
+            F.count("pol10") > 0,
+            F.sum("pol10").cast("double") / (10.0 * F.count("pol10")),
+        )
+        .otherwise(0.0)
+        .alias("_pol"),
+        F.when(
+            F.count("token") > 0, F.count("pol10").cast("double") / F.count("token")
+        )
+        .otherwise(0.0)
+        .alias("_subj"),
+    )
+    sup = list(ksent.SUPPORTED_LANGS)
+    return grouped.select(
+        "doc_id",
+        "lang",
+        F.when(F.col("lang").isin(sup), F.round(F.col("_pol"), 4)).alias("polarity"),
+        F.when(F.col("lang").isin(sup), F.round(F.col("_subj"), 4)).alias(
+            "subjectivity"
+        ),
+    )
+
+
+def _sql_sentiment_multilang() -> str:
+    lang, _ = O.langid_sql("clean")
+    sw = ", ".join(
+        f"{O.stopword_count_sql(O.tokens_lower_sql('clean'), lg)} AS sw_{lg}"
+        for lg in klangid.LANG_ORDER
+    )
+    sup = ", ".join(f"'{lg}'" for lg in ksent.SUPPORTED_LANGS)
+    return f"""
+WITH base AS (SELECT doc_id, {CLEAN} AS clean FROM documents),
+counts AS (SELECT doc_id, clean, {sw} FROM base),
+langed AS (SELECT doc_id, clean, {lang} AS lang FROM counts),
+toks AS (SELECT doc_id, lang, unnest(
+    CASE WHEN len(regexp_extract_all(lower(clean), {sql_lit(ktok.RE_WORD)})) = 0
+         THEN [NULL]
+         ELSE regexp_extract_all(lower(clean), {sql_lit(ktok.RE_WORD)}) END
+  ) AS token FROM langed),
+joined AS (SELECT t.doc_id, t.lang, t.token, lex.pol10
+  FROM toks t LEFT JOIN {O.sentiment_lexicon_values_multilang()}
+    ON t.lang = lex.lang AND t.token = lex.token),
+agg AS (SELECT doc_id, lang,
+   CASE WHEN count(pol10) > 0
+        THEN CAST(CAST(sum(pol10) AS BIGINT) AS DOUBLE) / (10.0 * count(pol10))
+        ELSE 0.0 END AS _pol,
+   CASE WHEN count(token) > 0
+        THEN CAST(count(pol10) AS DOUBLE) / count(token)
+        ELSE 0.0 END AS _subj
+ FROM joined GROUP BY 1, 2)
+SELECT doc_id, lang,
+  CASE WHEN lang IN ({sup}) THEN round(_pol, 4) END AS polarity,
+  CASE WHEN lang IN ({sup}) THEN round(_subj, 4) END AS subjectivity
+FROM agg
+"""
+
+
+SQL_SENTIMENT_MULTILANG = _sql_sentiment_multilang()
+
+
 # -------------------------------------------------------- q: unigram perplexity
 
 def q_unigram_ppl(spark, sf_dir):
@@ -1255,6 +1340,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "word_counts": q_word_counts,
     "lead_sentences": q_lead_sentences,
     "sentiment": q_sentiment,
+    "sentiment_multilang": q_sentiment_multilang,
     "unigram_ppl": q_unigram_ppl,
     "jaccard_pairs": q_jaccard_pairs,
     "ann_topk": q_ann_topk,
@@ -1303,6 +1389,7 @@ ORACLES: dict[str, str] = {
     "word_counts": SQL_WORD_COUNTS,
     "lead_sentences": SQL_LEAD_SENTENCES,
     "sentiment": SQL_SENTIMENT,
+    "sentiment_multilang": SQL_SENTIMENT_MULTILANG,
     "unigram_ppl": SQL_UNIGRAM_PPL,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "ann_topk": SQL_ANN_TOPK,
