@@ -86,3 +86,33 @@ def test_fuzz_parity(spark):
         assert g["drop_reason"] == want["drop_reason"], repr(t)
         assert g["lang"] == want["lang"], repr(t)
         assert g["nwords"] == want["nwords"], repr(t)
+
+
+def test_fuzz_scrub_kernel_vs_duckdb():
+    """Tri-engine closure: the kernel's single-pass LOOKAROUND scrub must
+    equal DuckDB's two-pass consuming-GUARD scrub (RE2 has no lookaround)
+    on the same adversarial corpus — text AND per-step counts. This is the
+    executable form of the equivalence argument in kernel/scrub.py."""
+    import duckdb
+
+    from textpipe_spark import oracle as O
+    from textpipe_spark.kernel import clean as kclean
+    from textpipe_spark.kernel import scrub as kscrub
+
+    _collect()
+    cases = [kclean.clean_text(t) for t in dict.fromkeys(_CASES)]
+    assert len(cases) > 50
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, x VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(cases)))
+    counts, final = O.scrub_chain_sql("x")
+    cols = ", ".join(
+        f"CAST({c} AS BIGINT) AS c_{n}" for c, n in zip(counts, kscrub.SCRUB_NAMES)
+    )
+    rows = con.execute(f"SELECT i, {final} AS s, {cols} FROM t ORDER BY i").fetchall()
+    for (i, s, *cnts), case in zip(rows, cases):
+        want_s, want_c = kscrub.scrub(case)
+        assert s == want_s, f"text diverged on {case!r}: {s!r} != {want_s!r}"
+        for n, got in zip(kscrub.SCRUB_NAMES, cnts):
+            assert got == want_c[n], f"count[{n}] diverged on {case!r}"

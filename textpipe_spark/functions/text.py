@@ -175,19 +175,16 @@ def langid_decide_col(counts: dict[str, Column]) -> Column:
 def scrub_struct_col(text: Column) -> Column:
     """Ordered scrub chain (kernel ``scrub.scrub``): struct<text string,
     <name>_hits int ..., total_hits int>. Counts are taken against the text
-    state BEFORE each pass, exactly like the kernel's sequential ``subn``;
-    boundary-guarded steps run two passes (kernel/scrub.py module doc)."""
+    state BEFORE each step, exactly like the kernel's sequential ``subn``.
+    Java shares the kernel's lookaround patterns — single pass per step,
+    bare-token replacement (kernel/scrub.py module doc)."""
     cur = text
     hit_cols = []
     for step in kscrub.SCRUB_STEPS:
         pat = kscrub.full_pattern(step)
-        rep = kscrub.java_replacement(step)
-        cnt = None
-        for _ in range(kscrub.passes(step)):
-            c = F.regexp_count(cur, F.lit(pat))
-            cnt = c if cnt is None else cnt + c
-            cur = F.regexp_replace(cur, pat, rep)
+        cnt = F.regexp_count(cur, F.lit(pat))
         hit_cols.append(cnt.alias(f"{step.name}_hits"))
+        cur = F.regexp_replace(cur, pat, step.token)
     total = None
     for c in hit_cols:
         total = c if total is None else total + c

@@ -11,29 +11,51 @@ Boundary semantics — why there is no ``\\b`` here
 ``\\b`` is NOT tri-dialect safe: Python ``re`` and Java treat it as
 Unicode-aware (``é1`` is not a boundary) while RE2/DuckDB is ASCII-only
 (``é1`` IS a boundary), so ``café127.0.0.1`` scrubs in DuckDB but not in
-Spark — a verified engine divergence. Word-boundary steps instead use an
-explicit ASCII guard, identical in all three dialects::
+Spark — a verified engine divergence. Word-boundary steps therefore pin
+the boundary to an EXPLICIT ASCII class, in two per-dialect idioms with
+one semantics:
 
-    (^|[^0-9A-Za-z_]) ( body ) ([^0-9A-Za-z_]|$)
+* Python/Java (the kernel spec and the Spark hot path) — zero-width
+  lookarounds, single pass::
 
-with group-preserving replacements (``\\g<1>tok\\g<3>`` / ``$1tok$3`` /
-``\\1tok\\3``). Because the guard CONSUMES the boundary character, two
-occurrences separated by a single boundary char ("1.2.3.4 5.6.7.8",
-"fuck fuck") would leave every second one unmatched in one pass — so
-guarded steps run exactly TWO substitution passes. Two passes always
-suffice: in pass 1's left-to-right scan an occurrence is only skipped when
-the previous match consumed its lead character, so skipped occurrences are
-never adjacent to each other, and pass 2 sees each with both boundary
-chars intact (replacement tokens are <>-delimited, i.e. non-word).
-Hit counts are the total replacements across both passes, counted against
-the text state before each pass — all three dialects implement this
-identically (kernel ``scrub``, functions/text.py ``scrub_struct_col``,
-oracle.py ``scrub_chain_sql``).
+      (?<![0-9A-Za-z_]) body (?![0-9A-Za-z_])
 
-Remaining dialect rules follow ``clean.py`` (no \\p{}, no lookbehind/
-lookahead — RE2 has none, which is exactly why the guard is a consuming
-group and not a lookaround — explicit whitespace classes, (?i) only as a
-whole-pattern prefix: Python 3.11 rejects mid-pattern global flags).
+  Zero-width matters for throughput: a consuming group-alternation lead
+  ``(^|[^0-9A-Za-z_])`` measured 10–15x slower in Java on the bench
+  corpus (the scanner runs full group machinery at every position),
+  while lookarounds keep the \\b-class scan speed.
+
+* RE2/DuckDB (the oracle; RE2 has NO lookaround) — a consuming guard
+  with group-preserving replacement, run exactly TWICE::
+
+      (^|[^0-9A-Za-z_]) ( body ) ([^0-9A-Za-z_]|$)   ->  \\1tok\\3
+
+  Because the guard consumes the boundary char, two occurrences one
+  boundary char apart ("1.2.3.4 5.6.7.8", "fuck fuck") would leave every
+  second one unmatched in a single pass. Two passes always suffice: a
+  pass-1 skip only happens when the previous match consumed the lead
+  char, so skipped occurrences are never adjacent, and pass 2 sees each
+  with both boundary chars intact (replacement tokens are <>-delimited,
+  i.e. non-word, and can neither form nor extend any body match).
+
+Equivalence of the two idioms requires that NO match can begin inside
+another occurrence — otherwise the guard's pass-1 scan, having skipped an
+occurrence whose lead char the previous match consumed, could start a
+SUB-match at a body-internal separator (":5:6:7:8" inside
+"fe80:5:6:7:8") and poison pass 2. Steps whose body contains non-word
+separators therefore EXCLUDE those separators from their boundary class
+in BOTH idioms (``extra_boundary``: '.' for ipv4, ':' for ipv6) — every
+body-internal char is then a word char or an excluded separator, so
+neither idiom can start a match inside an occurrence, and both select
+the same leftmost-greedy occurrence set. (Side effect, deliberate:
+"1.2.3.4.5"-style dotted runs no longer scrub their prefix — a version
+string is not an IP.) Equality is enforced by tests/test_oracle_gate.py
+and the tri-engine fuzz in tests/test_parity_fuzz.py. Hit counts:
+single-pass count (kernel/Spark) == summed two-pass count (oracle).
+
+Remaining dialect rules follow ``clean.py`` (no \\p{}, explicit
+whitespace classes, (?i) only as a whole-pattern prefix: Python 3.11
+rejects mid-pattern global flags).
 """
 
 from __future__ import annotations
@@ -41,8 +63,28 @@ from __future__ import annotations
 import re
 from typing import NamedTuple
 
-GUARD_LEAD = r"(^|[^0-9A-Za-z_])"
-GUARD_TRAIL = r"([^0-9A-Za-z_]|$)"
+WORD_CLASS = "0-9A-Za-z_"
+
+
+def guard_lead(extra: str = "") -> str:
+    return rf"(^|[^{WORD_CLASS}{extra}])"
+
+
+def guard_trail(extra: str = "") -> str:
+    return rf"([^{WORD_CLASS}{extra}]|$)"
+
+
+def look_lead(extra: str = "") -> str:
+    return rf"(?<![{WORD_CLASS}{extra}])"
+
+
+def look_trail(extra: str = "") -> str:
+    return rf"(?![{WORD_CLASS}{extra}])"
+
+
+# kept for consumers that build generic guards (queries.MATCH_RULES)
+GUARD_LEAD = guard_lead()
+GUARD_TRAIL = guard_trail()
 
 
 class ScrubStep(NamedTuple):
@@ -50,8 +92,10 @@ class ScrubStep(NamedTuple):
     body: str  # the pattern for the thing itself, NO boundary guards;
     #            must contain no capturing groups (use (?:...))
     token: str  # replacement token, e.g. "<IP>"
-    guarded: bool  # wrap in ASCII boundary guard + run two passes
+    guarded: bool  # wrap in ASCII boundary idiom (module doc)
     flags: str = ""  # whole-pattern prefix, e.g. "(?i)"
+    extra_boundary: str = ""  # body-internal separators excluded from the
+    #            boundary class (module doc: sub-match poisoning)
 
 
 # ORDER IS SEMANTICS.
@@ -67,12 +111,14 @@ SCRUB_STEPS: list[ScrubStep] = [
         r"(?:[0-9A-Fa-f]{1,4}:){3,7}[0-9A-Fa-f]{1,4}",
         "<IP>",
         guarded=True,
+        extra_boundary=":",
     ),
     ScrubStep(
         "ipv4",
         r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
         "<IP>",
         guarded=True,
+        extra_boundary=".",
     ),
     ScrubStep(
         "aws_key",
@@ -112,22 +158,26 @@ SCRUB_NAMES = [s.name for s in SCRUB_STEPS]
 
 
 def full_pattern(step: ScrubStep) -> str:
-    """The complete pattern string — IDENTICAL in Python re / Java / RE2."""
+    """Python/Java pattern (the kernel spec and the Spark hot path):
+    zero-width ASCII lookaround boundaries, SINGLE pass, replacement is
+    the bare token."""
     if step.guarded:
-        return f"{step.flags}{GUARD_LEAD}({step.body}){GUARD_TRAIL}"
+        e = step.extra_boundary
+        return f"{step.flags}{look_lead(e)}(?:{step.body}){look_trail(e)}"
     return f"{step.flags}{step.body}"
 
 
-def passes(step: ScrubStep) -> int:
+def re2_pattern(step: ScrubStep) -> str:
+    """RE2/DuckDB pattern (no lookaround): consuming ASCII guard — must be
+    applied re2_passes() times with duckdb_replacement()."""
+    if step.guarded:
+        e = step.extra_boundary
+        return f"{step.flags}{guard_lead(e)}({step.body}){guard_trail(e)}"
+    return f"{step.flags}{step.body}"
+
+
+def re2_passes(step: ScrubStep) -> int:
     return 2 if step.guarded else 1
-
-
-def py_replacement(step: ScrubStep) -> str:
-    return rf"\g<1>{step.token}\g<3>" if step.guarded else step.token
-
-
-def java_replacement(step: ScrubStep) -> str:
-    return f"$1{step.token}$3" if step.guarded else step.token
 
 
 def duckdb_replacement(step: ScrubStep) -> str:
@@ -143,10 +193,6 @@ def scrub(text: str | None) -> tuple[str, dict[str, int]]:
         return "", {n: 0 for n in SCRUB_NAMES}
     counts: dict[str, int] = {}
     for step, pat in _COMPILED:
-        rep = py_replacement(step)
-        total = 0
-        for _ in range(passes(step)):
-            text, n = pat.subn(rep, text)
-            total += n
-        counts[step.name] = total
+        text, n = pat.subn(step.token, text)
+        counts[step.name] = n
     return text, counts

@@ -138,16 +138,18 @@ def scrub_chain_sql(expr: str) -> tuple[list[str], str]:
 
     NOTE: count N is evaluated against the text state BEFORE pass N — the
     kernel's sequential ``subn`` semantics — so each count expr embeds the
-    chain of all previous replacements; boundary-guarded steps contribute
-    two passes whose counts sum (kernel/scrub.py module doc).
+    chain of all previous replacements. RE2 has no lookaround, so guarded
+    steps use the consuming-guard idiom run TWICE, counts summed; the sum
+    equals the kernel's single lookaround-pass count (kernel/scrub.py
+    module doc gives the argument).
     """
     cur = expr
     counts = []
     for step in kscrub.SCRUB_STEPS:
-        pat = kscrub.full_pattern(step)
+        pat = kscrub.re2_pattern(step)
         rep = kscrub.duckdb_replacement(step)
         pass_counts = []
-        for _ in range(kscrub.passes(step)):
+        for _ in range(kscrub.re2_passes(step)):
             pass_counts.append(rcount(cur, pat))
             cur = rr(cur, pat, rep)
         counts.append(" + ".join(f"({c})" for c in pass_counts))

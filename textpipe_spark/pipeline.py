@@ -175,26 +175,17 @@ def _step_scrub(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     hit_names = []
     for i, step in enumerate(kscrub.SCRUB_STEPS):
         pat = kscrub.full_pattern(step)
-        rep = kscrub.java_replacement(step)
-        pass_counts = []
-        for p in range(kscrub.passes(step)):
-            cur = f"_scrub_t{i}_{p}"
-            cnt = f"_{step.name}_hits_{p}"
-            df = df.withColumns(
-                {
-                    cnt: F.regexp_count(F.col(prev), F.lit(pat)),
-                    cur: F.regexp_replace(F.col(prev), pat, rep),
-                }
-            )
-            if prev != "clean":
-                df = df.drop(prev)
-            pass_counts.append(cnt)
-            prev = cur
-        total_c = None
-        for c in pass_counts:
-            total_c = F.col(c) if total_c is None else total_c + F.col(c)
-        df = df.withColumn(f"_{step.name}_hits", total_c).drop(*pass_counts)
+        cur = f"_scrub_t{i}"
+        df = df.withColumns(
+            {
+                f"_{step.name}_hits": F.regexp_count(F.col(prev), F.lit(pat)),
+                cur: F.regexp_replace(F.col(prev), pat, step.token),
+            }
+        )
+        if prev != "clean":
+            df = df.drop(prev)
         hit_names.append(f"_{step.name}_hits")
+        prev = cur
     total = None
     for h in hit_names:
         total = F.col(h) if total is None else total + F.col(h)
