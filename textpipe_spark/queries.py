@@ -694,6 +694,77 @@ FROM pairs WHERE round(cos, 4) >= {EMB_DUP_THRESHOLD}
 """
 
 
+# ------------------------------------------------------------------ q: kNN label
+
+KNN_K = 5
+KNN_N_QUERIES = 5
+
+
+def q_knn_label(spark, sf_dir):
+    """Batch k-NN majority-vote labels via the blocked local-top-k join
+    (similarity.knn_join_label — no crossJoin; per-block numpy matmul).
+    Oracle: the same semantics as a window over an all-pairs scan in
+    DuckDB, with identical (desc cosine, asc corpus_id) and
+    (desc votes, desc best_cos, asc label) tie-breaks."""
+    from .similarity import knn_join_label
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < KNN_N_QUERIES).select(
+        "vec_id", F.col("embedding").alias("qvec")
+    )
+    corpus = emb.where(F.col("vec_id") >= KNN_N_QUERIES)
+    out = knn_join_label(corpus, queries, k=KNN_K, n_blocks=8)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("knn_label").cast("long").alias("knn_label"),
+        F.col("votes").cast("long").alias("votes"),
+    )
+
+
+SQL_KNN_LABEL = f"""
+WITH e AS (SELECT vec_id, label,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+n AS (SELECT vec_id, label,
+        list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS vn
+      FROM e WHERE list_sum(list_transform(v, y -> y*y)) > 0),
+q AS (SELECT vec_id AS query_id, vn AS qn FROM n WHERE vec_id < {KNN_N_QUERIES}),
+c AS (SELECT vec_id AS corpus_id, label, vn FROM n WHERE vec_id >= {KNN_N_QUERIES}),
+scored AS (SELECT query_id, corpus_id, label, list_dot_product(qn, vn) AS cosine FROM q, c),
+topk AS (SELECT *, row_number() OVER
+           (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rn
+         FROM scored),
+votes AS (SELECT query_id, label, count(*) AS votes, max(cosine) AS best_cos
+          FROM topk WHERE rn <= {KNN_K} GROUP BY 1, 2),
+ranked AS (SELECT *, row_number() OVER
+             (PARTITION BY query_id ORDER BY votes DESC, best_cos DESC, label ASC) AS rk
+           FROM votes)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(label AS BIGINT) AS knn_label,
+       CAST(votes AS BIGINT) AS votes
+FROM ranked WHERE rk = 1
+"""
+
+
+def q_ann_topk_lsh(spark, sf_dir):
+    """Approximate top-k via multi-table hyperplane LSH (the scale tier of
+    ann_topk: candidates = bucket equi-join, probe cost ~ tables×bucket).
+    No SQL oracle: signatures come from seeded numpy hyperplanes
+    (similarity.make_signature_udf); the EXACT tier (ann_topk) is
+    oracle-checked, and recall vs exact is pytest-pinned
+    (tests/test_dedup_similarity.py)."""
+    from .similarity import lsh_topk
+
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    cand = emb.where(F.col("vec_id") != 0)
+    out = lsh_topk(cand, q, dim=64, k=ANN_K, bits=8, tables=8)
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.round(F.col("cosine"), 4).alias("cosine"),
+    )
+
+
 # ---------------------------------------------------------- q: doc vector stats
 
 def q_doc_vector_stats(spark, sf_dir):
@@ -1344,6 +1415,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_ppl": q_unigram_ppl,
     "jaccard_pairs": q_jaccard_pairs,
     "ann_topk": q_ann_topk,
+    "ann_topk_lsh": q_ann_topk_lsh,
+    "knn_label": q_knn_label,
     "embedding_near_dup": q_embedding_near_dup,
     "doc_vector_stats": q_doc_vector_stats,
     "quality_score": q_quality_score,
@@ -1393,6 +1466,7 @@ ORACLES: dict[str, str] = {
     "unigram_ppl": SQL_UNIGRAM_PPL,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "ann_topk": SQL_ANN_TOPK,
+    "knn_label": SQL_KNN_LABEL,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "doc_vector_stats": SQL_DOC_VECTOR_STATS,
     "quality_score": SQL_QUALITY_SCORE,

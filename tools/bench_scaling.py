@@ -124,7 +124,7 @@ local[{n4}] {results[n4]['walls']}.
 
 Correctness context: Spark output is row-for-row sha256-identical to the
 pure-Python kernel labels (tests/test_spark_parity.py), i.e. F1 = 1.0 vs
-reference labels, and 22 operators are value-hash-verified against a
+reference labels, and 31 driver queries are value-hash-verified against a
 DuckDB oracle (tools/verify_oracle.py).
 """
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
