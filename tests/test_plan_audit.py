@@ -1,0 +1,33 @@
+"""Physical-plan audit over EVERY driver query (PLANS.md enforcement).
+
+A CartesianProduct anywhere, or a BroadcastNestedLoopJoin outside the
+whitelist of intentional 1-row broadcasts (a single query vector / a
+1-row corpus total), is a plan regression that would not survive scale —
+this is the executable form of the PLANS.md plan-shape contract.
+"""
+
+import pytest
+
+from textpipe_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# queries where a BroadcastNestedLoopJoin is INTENTIONAL because the
+# broadcast side is exactly one row (crossJoin of a 1-row aggregate or a
+# single query vector): cost = |left| rows, not |left|x|right|
+ONE_ROW_BROADCAST = {
+    "ann_topk",       # single query vector broadcast
+    "ann_topk_lsh",   # query-bucket broadcast (<= tables rows)
+    "unigram_ppl",    # 1-row corpus-total aggregate
+}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_unplanned_products(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
+    if name not in ONE_ROW_BROADCAST:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} plans a BroadcastNestedLoopJoin outside the 1-row whitelist"
+        )
