@@ -134,3 +134,26 @@ def test_blocked_cosine_pairs_exact(spark, emb):
     assert got == want
     # count() must agree with collect() (cogroup pruning regression guard)
     assert similarity.blocked_cosine_pairs(emb, threshold=thr, n_blocks=4).count() == len(want)
+
+
+def test_fingerprint_overlap_pairs(spark):
+    """Two docs sharing a long copied passage inside otherwise-different
+    text must pair with high containment; unrelated docs must not pair."""
+    passage = (
+        "def compute_checksum(data): total = 0 "
+        "for chunk in data: total = total ^ hash(chunk) return total"
+    )
+    rows = [
+        (0, "intro alpha beta gamma. " + passage + " trailing words here."),
+        (1, "completely different preamble text. " + passage),
+        (2, "nothing in common with the others at all, just filler prose."),
+        (3, "more unrelated content that talks about something else entirely."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, clean string")
+    out = dedup.fingerprint_overlap_pairs(
+        df, text_col="clean", id_col="doc_id", min_overlap=2
+    ).collect()
+    pairs = {(r["id1"], r["id2"]): r for r in out}
+    assert (0, 1) in pairs
+    assert pairs[(0, 1)]["containment"] >= 0.3
+    assert (2, 3) not in pairs

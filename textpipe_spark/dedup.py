@@ -106,6 +106,61 @@ def minhash_dedup(
     return df.join(losers, id_col, "left_anti")
 
 
+def fingerprint_overlap_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_overlap: int = 2,
+    min_containment: float = 0.0,
+    df_cap: int = 100,
+) -> DataFrame:
+    """Code-clone / partial-overlap pairs via winnowing fingerprints
+    (Schleimer et al., SIGMOD'03 — kernel/minhash.py winnow_fingerprints).
+
+    Where MinHash finds whole-document near-dups, winnowing finds documents
+    SHARING PASSAGES (a copied function inside otherwise-different files):
+    each doc emits its fingerprint set, an inverted-index self-join counts
+    shared fingerprints, and `containment` = shared / min(|fp1|, |fp2|)
+    scores the smaller doc's coverage. Same scale shape as jaccard_pairs:
+    fingerprints with document frequency > df_cap are boilerplate and are
+    dropped before the join (cost model: Σ min(df, cap)², linear in corpus
+    size for fixed cap).
+    """
+    fps = df.select(
+        F.col(id_col), udfs.winnow_udf(F.col(text_col)).alias("_fps")
+    ).withColumn("_nfp", F.size("_fps"))
+    exploded = fps.select(id_col, "_nfp", F.explode("_fps").alias("fp"))
+    rare = (
+        exploded.groupBy("fp")
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") <= df_cap)
+        .select("fp")
+    )
+    t = exploded.join(F.broadcast(rare), "fp")
+    left = t.select(F.col(id_col).alias("id1"), F.col("_nfp").alias("n1"), "fp")
+    right = t.select(F.col(id_col).alias("id2"), F.col("_nfp").alias("n2"), "fp")
+    pairs = (
+        left.join(right, "fp")
+        .where(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2", "n1", "n2")
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= min_overlap)
+    )
+    containment = F.round(
+        F.col("shared").cast("double") / F.least("n1", "n2").cast("double"), 4
+    )
+    return (
+        pairs.withColumn("containment", containment)
+        .where(F.col("containment") >= min_containment)
+        .select(
+            F.col("id1").cast("long"),
+            F.col("id2").cast("long"),
+            F.col("shared").cast("long"),
+            "containment",
+        )
+    )
+
+
 def simhash_near_dup_pairs(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
 ) -> DataFrame:

@@ -963,6 +963,22 @@ def q_fingerprint(spark, sf_dir):
     )
 
 
+def q_fingerprint_overlap(spark, sf_dir):
+    """Passage-overlap (code-clone) pairs via winnowing fingerprints
+    (dedup.fingerprint_overlap_pairs). No SQL oracle: fingerprints are
+    sha1 rolling hashes (see q_fingerprint); the join/containment algebra
+    is pytest-covered (tests/test_dedup_similarity.py)."""
+    from .dedup import fingerprint_overlap_pairs
+
+    d = _docs(spark, sf_dir).select("doc_id", "clean")
+    # thresholds probed on the driver corpus: shared>=16 alone still admits
+    # 6.5k boilerplate pairs of 500 docs; the containment floor is what
+    # separates copied passages from shared vocabulary (31 pairs)
+    return fingerprint_overlap_pairs(
+        d, text_col="clean", id_col="doc_id", min_overlap=16, min_containment=0.3
+    )
+
+
 def q_minhash_lsh_pairs(spark, sf_dir):
     """No SQL oracle: candidate generation hinges on the minhash band
     hashes (sha1-based, see q_minhash); the exact-verify tier
@@ -1436,6 +1452,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_dedup": q_simhash_dedup,
+    "fingerprint_overlap": q_fingerprint_overlap,
     "keyterms": q_keyterms,
     "summary": q_summary,
     "doc_vector": q_doc_vector,
