@@ -75,3 +75,28 @@ def test_hint_language_column(spark):
     cfg = PipelineConfig(steps=["clean", "langid"], hint_lang_col="hint")
     out = build(df, cfg).collect()[0]
     assert out["lang"] == "nl"  # hint wins the tie exactly like the kernel
+
+
+def test_pluggable_match_rules_and_category_head(spark):
+    """The model_mapping analogues: a custom entity rule set plugs into
+    match_entities_col, and a custom classifier head plugs into
+    make_categories_udf (reference Categories(model_mapping) /
+    Doc.match with a custom Matcher)."""
+    from pyspark.sql import functions as F
+
+    from textpipe_spark import udfs
+    from textpipe_spark.functions import text as X
+
+    df = spark.createDataFrame(
+        [(0, "TODO fix issue JIRA-123 before v2.0 ships")],
+        "doc_id long, clean string",
+    )
+    rules = [("TICKET", r"[A-Z]{2,}-[0-9]+", 0), ("TODO", r"TODO", 0)]
+    out = df.select(X.match_entities_col(F.col("clean"), rules).alias("e")).first()
+    assert out["e"] == "TICKET|JIRA-123,TODO|TODO"
+
+    def head(text):
+        return {"code": 1.0 if "fix" in text else 0.0}
+
+    cat = df.select(udfs.make_categories_udf(head)(F.col("clean")).alias("c")).first()
+    assert cat["c"] == {"code": 1.0}

@@ -248,6 +248,22 @@ def decision_struct_col(
     return F.struct((reason == "").alias("keep"), reason.alias("drop_reason"))
 
 
+def match_entities_col(clean: Column, rules) -> Column:
+    """Rule-tagged span extraction (reference ``Doc.match``/``Entities``
+    with a pluggable rule set — the regex analogue of the spaCy Matcher
+    model_mapping, operation.py:203-224). ``rules`` is a list of
+    (name, pattern, extract_group); output is the sorted, deduped
+    'NAME|span' rendering used by the entities query."""
+    parts = [
+        F.transform(
+            F.array_distinct(F.regexp_extract_all(clean, F.lit(pat), g)),
+            lambda m: F.concat_ws("|", F.lit(name), m),
+        )
+        for name, pat, g in rules
+    ]
+    return F.array_join(F.array_sort(F.flatten(F.array(*parts))), ",")
+
+
 def lead_sentences_col(clean: Column, nsents: int = 3) -> Column:
     """Lead-N sentences (reference ``extract_lead``, doc.py:757-776)."""
     return F.slice(sentences_col(clean), 1, nsents)

@@ -1162,17 +1162,12 @@ MATCH_RULES = [
 ]
 
 
-def q_entities(spark, sf_dir):
+def q_entities(spark, sf_dir, rules=None):
+    """Rule-tagged entities. ``rules`` is the pluggable rule set
+    (reference model_mapping analogue) — defaults to MATCH_RULES."""
     d = _docs(spark, sf_dir)
-    parts = [
-        F.transform(
-            F.array_distinct(F.regexp_extract_all(F.col("clean"), F.lit(pat), g)),
-            lambda m: F.concat_ws("|", F.lit(name), m),
-        )
-        for name, pat, g in MATCH_RULES
-    ]
-    ents = F.array_sort(F.flatten(F.array(*parts)))
-    return d.select("doc_id", F.array_join(ents, ",").alias("entities"))
+    ents = X.match_entities_col(F.col("clean"), rules or MATCH_RULES)
+    return d.select("doc_id", ents.alias("entities"))
 
 
 def _sql_entities() -> str:

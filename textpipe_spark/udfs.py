@@ -177,10 +177,23 @@ def word_vectors_udf(clean: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-@F.pandas_udf(T.MapType(T.StringType(), T.DoubleType()))
-def categories_udf(clean: pd.Series) -> pd.Series:
-    """Per-class probabilities (reference Categories, operation.py:430-448)."""
-    return pd.Series([klangid.categories(t or "") for t in clean])
+def make_categories_udf(head_fn=None):
+    """Pluggable classifier head (reference ``Categories(model_mapping)``,
+    operation.py:430-448): ``head_fn(text) -> {label: prob}`` replaces the
+    default embedded char-n-gram head. The callable must be importable/
+    picklable on workers; heavier models follow the worker-singleton
+    pattern (load once inside head_fn via kernel.artifacts)."""
+    fn = head_fn or (lambda t: klangid.categories(t))
+
+    @F.pandas_udf(T.MapType(T.StringType(), T.DoubleType()))
+    def _categories_udf(clean: pd.Series) -> pd.Series:
+        return pd.Series([fn(t or "") for t in clean])
+
+    return _categories_udf
+
+
+# default instance (the embedded head)
+categories_udf = make_categories_udf()
 
 
 @F.pandas_udf(EMOJI_SCHEMA)
