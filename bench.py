@@ -31,6 +31,7 @@ CORPUS_DIR = os.path.join(
 
 BENCH_QUERIES = [
     "flagship",
+    "flagship_model",
     "keep_drop",
     "scrub",
     "langid",

@@ -1406,6 +1406,37 @@ FROM decided
 SQL_FLAGSHIP = _sql_flagship()
 
 
+def q_flagship_model(spark, sf_dir):
+    """The flagship pipeline WITH the model tiers the north_star names:
+    batched char-n-gram language-ID inference and bigram-LM perplexity as
+    Arrow pandas UDFs (worker-singleton models), alongside the native
+    rule/scrub path — one pipeline, both execution tiers. No SQL oracle
+    (model inference; see q_langid_model / q_perplexity_lm); kernel<->Spark
+    parity is pinned by tests/test_spark_parity.py over the same steps."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    cfg = PipelineConfig(
+        steps=[
+            "clean", "langid", "langid_model", "token_stats", "complexity",
+            "perplexity", "scrub", "decide",
+        ],
+        raw_col="text",
+    )
+    out = build(df, cfg)
+    return out.select(
+        "doc_id",
+        "lang",
+        "lang_model",
+        F.round(F.col("lang_model_conf"), 4).alias("lang_model_conf"),
+        F.round(F.col("perplexity"), 3).alias("perplexity"),
+        F.col("nwords").cast("long").alias("nwords"),
+        "keep",
+        "drop_reason",
+        "scrubbed_sha256",
+    )
+
+
 # ------------------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1458,6 +1489,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "categories": q_categories,
     "word_vectors": q_word_vectors,
     "flagship": q_flagship,
+    "flagship_model": q_flagship_model,
 }
 
 ORACLES: dict[str, str] = {
