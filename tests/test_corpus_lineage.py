@@ -103,3 +103,31 @@ def test_config_fingerprint_changes_rerun(spark, corpus_dir, tmp_path_factory):
 
     cfg2 = PipelineConfig(rules=RuleConfig(min_chars=64))
     assert config_fingerprint(cfg1) != config_fingerprint(cfg2)
+
+
+def test_corpus_pipeline_cli(tmp_path):
+    """The composed filter->dedup->near-dup CLI runs end-to-end and its
+    stage counts are consistent (monotone non-increasing, histogram sums
+    to the dropped count)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from make_corpus import write_corpus
+
+    src = str(tmp_path / "src")
+    write_corpus(src, n_files=1500, seed=11, partitions=4)
+    sink = str(tmp_path / "out")
+    env = dict(os.environ, SPARK_LOCAL_IP="127.0.0.1")
+    proc = subprocess.run(
+        [sys.executable, "tools/run_corpus_pipeline.py",
+         "--source", src, "--sink", sink, "--cores", "4"],
+        capture_output=True, text=True, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert stats["files_in"] >= stats["files_kept"] >= stats["after_exact_dedup"] >= stats["after_near_dup"] > 0
+    assert sum(stats["drop_histogram"].values()) == stats["files_in"] - stats["files_kept"]

@@ -1,0 +1,93 @@
+"""End-to-end training-data pipeline CLI: filter -> dedup -> near-dup drop.
+
+The composed job a training-data team runs over a raw code corpus — the
+operators are the library pieces (pipeline.build, dedup.exact_dedup,
+dedup.minhash_dedup) chained the way PLANS.md prescribes: one labeled
+manifest write (never where() on a computed boolean), hash-key equi-joins
+only, every stage's row counts appended to a stats JSON.
+
+Cluster shape (BASELINE.json north_rule):
+
+    zip -r textpipe_spark.zip textpipe_spark
+    spark-submit --py-files textpipe_spark.zip \
+        tools/run_corpus_pipeline.py \
+        --source s3://bucket/code_files --sink s3://bucket/training_set \
+        --near-dup-threshold 0.9
+
+Local smoke run:
+
+    python tools/run_corpus_pipeline.py --source .bench_corpus/v3_n40000 \
+        --sink /tmp/training_set --cores 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="filter + dedup training-data pipeline")
+    ap.add_argument("--source", required=True)
+    ap.add_argument("--sink", required=True)
+    ap.add_argument("--config", help="PipelineConfig JSON path (optional)")
+    ap.add_argument("--near-dup-threshold", type=float, default=0.9)
+    ap.add_argument("--cores", default="*", help="local[N] cores (local mode only)")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from textpipe_spark.dedup import exact_dedup, minhash_dedup
+    from textpipe_spark.io import spark_session
+    from textpipe_spark.pipeline import PipelineConfig, build
+
+    cfg = PipelineConfig.load(args.config) if args.config else PipelineConfig()
+    spark = spark_session(app="textpipe_corpus_pipeline", cores=args.cores)
+    spark.sparkContext.setLogLevel("WARN")
+
+    t0 = time.monotonic()
+    src = spark.read.parquet(args.source)
+    stats = {"files_in": src.count()}
+
+    # 1) quality filter: write the FULL labeled manifest once (content
+    #    pruned), then work from the written keep column — filtering on the
+    #    computed boolean would re-evaluate the cascade (PLANS.md §1)
+    manifest_dir = args.sink.rstrip("/") + "_manifest"
+    labeled = build(src, cfg).select(
+        "repo", "path", "commit", "lang", "nwords", "keep", "drop_reason",
+        "scrubbed", "scrubbed_sha256",
+    )
+    labeled.write.mode("overwrite").parquet(manifest_dir)
+    man = spark.read.parquet(manifest_dir)
+    stats["files_kept"] = man.where(F.col("keep")).count()
+    stats["drop_histogram"] = {
+        r["drop_reason"]: r["n"]
+        for r in man.where(~F.col("keep"))
+        .groupBy("drop_reason").agg(F.count("*").alias("n")).collect()
+    }
+
+    kept = man.where(F.col("keep")).withColumn(
+        "doc_id", F.xxhash64("repo", "path", "commit")
+    )
+
+    # 2) exact dedup on the scrubbed text (one shuffle on the sha)
+    uniq = exact_dedup(kept, "scrubbed", "doc_id")
+    stats["after_exact_dedup"] = uniq.count()
+
+    # 3) near-dup drop (MinHash LSH keep-first; band-hash equi-joins)
+    final = minhash_dedup(uniq, "scrubbed", "doc_id", threshold=args.near_dup_threshold)
+    final.drop("doc_id").write.mode("overwrite").parquet(args.sink)
+    out = spark.read.parquet(args.sink)
+    stats["after_near_dup"] = out.count()
+    stats["wall_s"] = round(time.monotonic() - t0, 1)
+
+    print(json.dumps(stats, sort_keys=True))
+
+
+if __name__ == "__main__":
+    main()
