@@ -139,9 +139,13 @@ def test_blocked_cosine_pairs_exact(spark, emb):
 def test_fingerprint_overlap_pairs(spark):
     """Two docs sharing a long copied passage inside otherwise-different
     text must pair with high containment; unrelated docs must not pair."""
+    # long enough that the coarse winnow grid (k=16, window=32: guarantee
+    # on shared substrings >= 47 chars) yields several shared fingerprints
     passage = (
         "def compute_checksum(data): total = 0 "
-        "for chunk in data: total = total ^ hash(chunk) return total"
+        "for chunk in data: total = total ^ hash(chunk) return total "
+        "def verify_checksum(data, expected): return compute_checksum(data) == expected "
+        "checksums = [compute_checksum(block) for block in blocks]"
     )
     rows = [
         (0, "intro alpha beta gamma. " + passage + " trailing words here."),

@@ -113,6 +113,8 @@ def fingerprint_overlap_pairs(
     min_overlap: int = 2,
     min_containment: float = 0.0,
     df_cap: int = 100,
+    k: int = 16,
+    window: int = 32,
 ) -> DataFrame:
     """Code-clone / partial-overlap pairs via winnowing fingerprints
     (Schleimer et al., SIGMOD'03 — kernel/minhash.py winnow_fingerprints).
@@ -124,10 +126,14 @@ def fingerprint_overlap_pairs(
     scores the smaller doc's coverage. Same scale shape as jaccard_pairs:
     fingerprints with document frequency > df_cap are boilerplate and are
     dropped before the join (cost model: Σ min(df, cap)², linear in corpus
-    size for fixed cap).
+    size for fixed cap). Fingerprint density is ~1/window (the winnowing
+    guarantee covers shared substrings of >= k+window-1 chars); the coarse
+    (16, 32) default keeps the exploded index ~16x smaller than the
+    fine-grained per-doc fingerprint default.
     """
+    winnow = udfs.make_winnow_udf(k, window)
     fps = df.select(
-        F.col(id_col), udfs.winnow_udf(F.col(text_col)).alias("_fps")
+        F.col(id_col), winnow(F.col(text_col)).alias("_fps")
     ).withColumn("_nfp", F.size("_fps"))
     exploded = fps.select(id_col, "_nfp", F.explode("_fps").alias("fp"))
     rare = (

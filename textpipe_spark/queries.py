@@ -971,11 +971,12 @@ def q_fingerprint_overlap(spark, sf_dir):
     from .dedup import fingerprint_overlap_pairs
 
     d = _docs(spark, sf_dir).select("doc_id", "clean")
-    # thresholds probed on the driver corpus: shared>=16 alone still admits
-    # 6.5k boilerplate pairs of 500 docs; the containment floor is what
-    # separates copied passages from shared vocabulary (31 pairs)
+    # coarse winnow grid (k=16, window=32: catches shared substrings >= 47
+    # chars at ~1/32 fingerprint density); thresholds probed on the driver
+    # corpus — the containment floor separates copied passages from shared
+    # vocabulary (24 pairs at sf0.01, 249 at sf0.1)
     return fingerprint_overlap_pairs(
-        d, text_col="clean", id_col="doc_id", min_overlap=16, min_containment=0.3
+        d, text_col="clean", id_col="doc_id", min_overlap=3, min_containment=0.3
     )
 
 

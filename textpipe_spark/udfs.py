@@ -68,6 +68,22 @@ def winnow_udf(clean: pd.Series) -> pd.Series:
     return pd.Series([kmh.winnow_fingerprints(t or "") for t in clean])
 
 
+def make_winnow_udf(k: int, window: int):
+    """Parameterised winnowing: fingerprint density ~1/window and the
+    guarantee is 'any shared substring of >= k+window-1 chars is caught'
+    — the corpus-scale overlap join uses a coarse (16, 32) setting so the
+    inverted index carries ~1/16 of positions, not ~40% like the
+    fine-grained default."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _winnow(clean: pd.Series) -> pd.Series:
+        return pd.Series(
+            [kmh.winnow_fingerprints(t or "", k=k, window=window) for t in clean]
+        )
+
+    return _winnow
+
+
 KEYTERMS_SCHEMA = T.ArrayType(
     T.StructType(
         [T.StructField("term", T.StringType()), T.StructField("score", T.DoubleType())]
