@@ -126,7 +126,8 @@ def main() -> None:
 
     job()  # warm: JIT + codegen
     corpus_wall = 1e9
-    for _ in range(2):  # best-of-2 against CPU-steal noise
+    for _ in range(3):  # best-of-3: the headline number rides through the
+        # host's intermittent CPU-steal windows (BENCH/BASELINE.md history)
         t0 = time.monotonic()
         job()
         corpus_wall = min(corpus_wall, time.monotonic() - t0)
