@@ -1407,6 +1407,56 @@ FROM decided
 SQL_FLAGSHIP = _sql_flagship()
 
 
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing driver-visible: documents.text wrapped as binary
+    media payloads (the production schema adapter), then the Arrow-batched
+    mapInPandas feature extractor. The decode step is the documented
+    deterministic stub (multimodal._decode_stub: 8 floats from the payload
+    digest — no codec libs in this container), so the WHOLE path is
+    oracle-checkable: sha256 + byte length in SQL, and the stub features
+    re-derived from the sha hex via a 256-entry hex-pair map. Features
+    render as the exact digest BYTES (round(f*255) inverts the stub's
+    /255.0) so no float formatting crosses the comparator."""
+    from .multimodal import extract_features, media_from_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    feats = extract_features(media_from_documents(docs))
+    rendered = F.array_join(
+        F.transform(
+            F.col("feature"),
+            lambda f: F.round(f.cast("double") * 255).cast("long").cast("string"),
+        ),
+        ",",
+    )
+    return feats.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        "kind",
+        "payload_sha256",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        rendered.alias("feature_bytes"),
+    )
+
+
+def _sql_multimodal_features() -> str:
+    pairs = [f"{i:02x}" for i in range(256)]
+    keys = ", ".join(f"'{p}'" for p in pairs)
+    vals = ", ".join(str(i) for i in range(256))
+    return f"""
+WITH m AS (SELECT doc_id AS media_id, 'image' AS kind,
+        sha256({RAW}) AS payload_sha256,
+        CAST(octet_length(encode({RAW})) AS BIGINT) AS n_bytes
+     FROM documents),
+hexmap AS (SELECT map([{keys}], [{vals}]) AS mp)
+SELECT media_id, kind, payload_sha256, n_bytes,
+       array_to_string(list_transform(range(0, 8),
+           i -> CAST(mp[substr(payload_sha256, 2*i + 1, 2)][1] AS VARCHAR)), ',') AS feature_bytes
+FROM m, hexmap
+"""
+
+
+SQL_MULTIMODAL_FEATURES = _sql_multimodal_features()
+
+
 def q_flagship_model(spark, sf_dir):
     """The flagship pipeline WITH the model tiers the north_star names:
     batched char-n-gram language-ID inference and bigram-LM perplexity as
@@ -1491,6 +1541,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "word_vectors": q_word_vectors,
     "flagship": q_flagship,
     "flagship_model": q_flagship_model,
+    "multimodal_features": q_multimodal_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -1525,4 +1576,5 @@ ORACLES: dict[str, str] = {
     "revenue_by_segment": SQL_REVENUE_BY_SEGMENT,
     "flagship": SQL_FLAGSHIP,
     "emojis_annotated": SQL_EMOJIS_ANNOTATED,
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
 }
