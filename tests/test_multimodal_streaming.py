@@ -87,3 +87,40 @@ def test_streaming_matches_batch(spark, tmp_path_factory):
     g = {(r["repo"], r["path"]): r["scrubbed_sha256"] for r in got.collect()}
     w = {(r["repo"], r["path"]): r["scrubbed_sha256"] for r in want.collect()}
     assert g == w  # stream == batch, row for row
+
+
+def test_near_dup_dedup_stream(spark, tmp_path_factory):
+    """Cross-batch NEAR-dup dedup (foreachBatch + persistent band index):
+    a batch-2 doc that is a near-duplicate of a batch-1 survivor must be
+    dropped even though its text is not byte-identical."""
+    import os
+
+    base = "the quick brown fox jumps over the lazy dog again and again ok " * 4
+    rows1 = [("r", "a0", "c", "en", base)]
+    rows1 += [("r", f"a{i}", "c", "en", f"totally unrelated text number {i} "
+              + "with plenty of distinct words to shingle on " * 3) for i in range(1, 4)]
+    # batch 2: one near-dup of base (tiny suffix change), one fresh doc
+    rows2 = [("r", "b0", "c", "en", base + " tiny suffix"),
+             ("r", "b1", "c", "en", "another fresh document about shuffle "
+              + "partitions and adaptive execution plans " * 3)]
+    schema = "repo string, path string, commit string, lang string, content string"
+    src = str(tmp_path_factory.mktemp("nd_src"))
+    flat = str(tmp_path_factory.mktemp("nd_flat"))
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(src + "/b2")
+    for i, b in enumerate(["b1", "b2"]):
+        f = [p for p in os.listdir(f"{src}/{b}") if p.endswith(".parquet")][0]
+        os.rename(f"{src}/{b}/{f}", f"{flat}/part-{i}.parquet")
+
+    out = str(tmp_path_factory.mktemp("nd_out"))
+    idx = str(tmp_path_factory.mktemp("nd_idx")) + "/index"
+    ckpt = str(tmp_path_factory.mktemp("nd_ckpt"))
+    stream = tps_streaming.stream_code_files(spark, flat, max_files_per_trigger=1)
+    q = tps_streaming.near_dup_dedup_stream(
+        stream, out_dir=out, index_dir=idx, checkpoint_dir=ckpt, threshold=0.8
+    )
+    q.awaitTermination(180)
+    got = {r["path"] for r in spark.read.parquet(out).collect()}
+    assert "a0" in got and "b1" in got          # originals + fresh survive
+    assert "b0" not in got                       # cross-batch near-dup dropped
+    assert {"a1", "a2", "a3"} <= got

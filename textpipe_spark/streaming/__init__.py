@@ -112,6 +112,99 @@ def stateful_dedup_stream(
     )
 
 
+def near_dup_dedup_stream(
+    stream_df: DataFrame,
+    out_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "content",
+    id_col: str = "path",
+    threshold: float = 0.9,
+    bands: int = 16,
+):
+    """Cross-batch NEAR-dup dedup via the foreachBatch + persistent
+    signature index pattern (the production shape when the dedup key is a
+    128-int signature, too wide for per-group operator state):
+
+      per micro-batch: signature -> band hashes -> equi-join against the
+      PERSISTED band index (everything survived so far) AND within-batch
+      LSH pairs -> drop collisions above threshold -> append survivors to
+      the sink and their bands to the index.
+
+    The index is itself a parquet table partitioned-by-write on band_idx —
+    at scale the join is an equi-join on (band_idx, band_hash) against an
+    append-only table, and foreachBatch's epoch id gives idempotent
+    retries. Precision is exact (signature verify on candidates), recall
+    is the LSH band/row trade-off, identical to the batch tier.
+    """
+    from ..dedup import minhash_lsh_pairs, with_minhash
+    from .. import udfs
+    from ..kernel.minhash import NUM_PERM
+
+    def process_batch(batch_df: DataFrame, epoch_id: int):
+        spark = batch_df.sparkSession
+        sig = with_minhash(batch_df, text_col).withColumn(
+            "_did", F.xxhash64(F.col(id_col))
+        )
+        sig = sig.persist()
+        try:
+            banded = sig.select(
+                F.col("_did"),
+                F.col("minhash"),
+                F.posexplode(udfs.lsh_bands_col(F.col("minhash"), bands)).alias(
+                    "band_idx", "band_hash"
+                ),
+            )
+            from pyspark.errors import AnalysisException
+
+            try:
+                index = spark.read.parquet(index_dir)
+                cands = banded.join(index, ["band_idx", "band_hash"]).select(
+                    "_did", F.col("minhash").alias("mh1"),
+                    F.col("idx_minhash").alias("mh2"),
+                ).dropDuplicates(["_did"])
+                est = (
+                    F.size(
+                        F.filter(
+                            F.zip_with(F.col("mh1"), F.col("mh2"), lambda a, b: a == b),
+                            lambda x: x,
+                        )
+                    ).cast("double")
+                    / F.lit(float(NUM_PERM))
+                )
+                hist_dups = cands.where(F.round(est, 4) >= threshold).select("_did")
+            except AnalysisException as exc:
+                # only the first batch (index table not created yet) may
+                # pass — anything else is a real failure
+                if "PATH_NOT_FOUND" not in str(exc) and "unable to infer schema" not in str(exc).lower():
+                    raise
+                hist_dups = sig.select("_did").limit(0)
+            # within-batch near-dups (keep-first)
+            batch_pairs = minhash_lsh_pairs(
+                sig.select(F.col("_did").alias("doc_id"), text_col),
+                text_col, "doc_id", threshold=threshold, bands=bands,
+            )
+            batch_losers = batch_pairs.select(F.col("id2").alias("_did")).distinct()
+            losers = hist_dups.union(batch_losers).distinct()
+            kept = sig.join(losers, "_did", "left_anti")
+            kept.drop("_did", "minhash").write.mode("append").parquet(out_dir)
+            kept.select(
+                F.posexplode(udfs.lsh_bands_col(F.col("minhash"), bands)).alias(
+                    "band_idx", "band_hash"
+                ),
+                F.col("minhash").alias("idx_minhash"),
+            ).write.mode("append").parquet(index_dir)
+        finally:
+            sig.unpersist()
+
+    return (
+        stream_df.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def write_filtered(
     filtered: DataFrame,
     out_dir: str,
