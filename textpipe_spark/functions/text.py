@@ -19,19 +19,37 @@ from ..kernel import scrub as kscrub
 from ..kernel import tokenize as ktok
 
 
+def _apply_steps(col: Column, steps) -> Column:
+    for kind, pat, rep in steps:
+        if kind == "lit":
+            col = F.replace(col, F.lit(pat), F.lit(rep))
+        else:
+            col = F.regexp_replace(col, pat, rep)
+    return col
+
+
 def clean_col(raw: Column) -> Column:
     """The full clean chain (kernel ``clean.clean_text``) as nested
     ``regexp_replace``/``replace`` — one codegen'd expression, no shuffle,
     no Python. Literal steps use F.replace (byte-level on UTF8String; the
     regex engine's UTF-16 String round-trip is the top GC source at scale).
+
+    The two expensive segments are gated on single-byte ``contains`` tests
+    of the RAW column (kernel ``clean.clean_text`` docstring carries the
+    equivalence argument: markup needs '<', entities need '&', and markup
+    stripping only deletes bytes). Both gate conditions test ``raw`` — a
+    cheap attribute reference — and each CASE branch evaluates exactly once
+    per row, so no sub-expression is recomputed even though CASE disables
+    Catalyst CSE (PLANS.md). On corpora where '&'-entities are rare (all
+    code corpora measured), this removes ~40 byte-scan passes per document.
     """
-    col = raw
-    for kind, pat, rep in kclean.CLEAN_STEPS:
-        if kind == "lit":
-            col = F.replace(col, F.lit(pat), F.lit(rep))
-        else:
-            col = F.regexp_replace(col, pat, rep)
-    return F.trim(col)
+    markup = F.when(
+        raw.contains("<"), _apply_steps(raw, kclean.MARKUP_STEPS)
+    ).otherwise(raw)
+    ent = F.when(
+        raw.contains("&"), _apply_steps(markup, kclean.ENTITY_STEPS)
+    ).otherwise(markup)
+    return F.trim(_apply_steps(ent, kclean.TAIL_STEPS))
 
 
 def words_col(clean: Column) -> Column:
@@ -171,6 +189,48 @@ def langid_decide_col(counts: dict[str, Column]) -> Column:
 
 
 # ------------------------------------------------------------- scrub chain
+
+# Necessary-substring triggers per scrub step: a match for the step's body
+# REQUIRES one of these literals to be present, so a cheap byte-level
+# ``contains`` that fails proves hits == 0 and lets the whole regex pass be
+# skipped (exact, not approximate). Steps not listed have no useful literal
+# trigger (ipv4 '.', hex runs, case-insensitive toxicity words) and always
+# pay their regex scan.
+SCRUB_TRIGGERS: dict[str, list[str]] = {
+    "email": ["@"],
+    "ipv6": [":"],
+    "aws_key": ["AKIA", "ASIA"],
+    "private_key": ["-----BEGIN "],
+    "api_token": ["ghp_", "gho_", "ghs_", "xoxb", "xoxp"],
+}
+
+
+def token_occurrences_col(text: Column, token: str) -> Column:
+    """Occurrences of a literal scrub token in ``text`` via the byte-level
+    length-diff idiom — two O(n) byte scans, no regex engine, no UTF-16
+    conversion. Exact because every scrub token is non-self-overlapping
+    ('<' appears only at position 0) and no scrub body can match '<' or '>'
+    (kernel/scrub.py body classes), so replacement can neither destroy an
+    existing token occurrence nor splice a new one across an insertion
+    boundary."""
+    n = len(token)
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(token), F.lit(""))))
+        / F.lit(n)
+    ).cast("long")
+
+
+def scrub_trigger_col(text: Column, step) -> Column | None:
+    """OR of the step's necessary-substring byte tests, or None (ungated)."""
+    lits = SCRUB_TRIGGERS.get(step.name)
+    if not lits:
+        return None
+    cond = None
+    for t in lits:
+        c = text.contains(t)
+        cond = c if cond is None else (cond | c)
+    return cond
+
 
 def scrub_struct_col(text: Column) -> Column:
     """Ordered scrub chain (kernel ``scrub.scrub``): struct<text string,

@@ -38,13 +38,26 @@ RE_HTML_COMMENT = r"<!--.*?-->"
 RE_HTML_SCRIPT = r"(?is)<(script|style)[^>]*>.*?</(script|style)>"
 RE_HTML_TAG = r"(?s)</?[A-Za-z!][^>]*>"
 
-# Named-entity set (engine spec). Entities decode to their Unicode
-# characters exactly as bs4 would (doc.py:206); downstream quote/ellipsis
-# normalisation then applies to the decoded char like any other input.
-# ``&amp;`` decodes LAST: bs4 renders '&amp;lt;' as the literal text
-# '&lt;', which only falls out if no more entity decoding follows.
-# Each entry is one byte-level F.replace pass in Spark — extend freely,
-# the chain shape is O(#entities) scans with no regex engine involved.
+# Named-entity + frequent numeric character-reference set (engine spec).
+# Entities decode to their Unicode characters exactly as bs4 would
+# (doc.py:206); downstream quote/ellipsis normalisation then applies to the
+# decoded char like any other input. Each entry is one byte-level F.replace
+# pass in Spark — extend freely, the chain shape is O(#entities) scans with
+# no regex engine involved, and the whole block is skipped for any document
+# whose RAW text contains no '&' (see ``clean_text`` / ``clean_col``).
+#
+# Ordering rule: every entity that decodes TO '&' (&#38; &#x26; &amp;) sits
+# at the END of the list, so '&amp;lt;' renders as the literal '&lt;'
+# exactly like bs4's single left-to-right decode. Sequential passes cannot
+# reproduce single-pass semantics for *stacked* '&'-producers —
+# '&#38;amp;' fully decodes to '&' here where bs4 yields '&amp;' — that
+# double-encoded tail is documented out of spec; all three engines
+# (kernel / Spark / DuckDB) share the identical sequential chain, so parity
+# is exact regardless.
+#
+# ``&nbsp;``/``&#160;`` decode straight to ' ' (bs4 gives U+00A0, which
+# RE_WHITESPACE then collapses to ' ' — same fixpoint, one fewer rewrite).
+# The long tail of numeric refs (``&#x1F600;`` etc.) is out of spec.
 HTML_ENTITIES = [
     ("&nbsp;", " "),
     ("&lt;", "<"),
@@ -68,6 +81,27 @@ HTML_ENTITIES = [
     ("&deg;", "°"),
     ("&euro;", "€"),
     ("&pound;", "£"),
+    # frequent numeric character references (decimal + the hex forms that
+    # dominate HTML-escaped web text, e.g. JS escapers emit &#x27;/&#x2F;)
+    ("&#34;", '"'),
+    ("&#60;", "<"),
+    ("&#62;", ">"),
+    ("&#160;", " "),
+    ("&#8211;", "–"),
+    ("&#8212;", "—"),
+    ("&#8216;", "‘"),
+    ("&#8217;", "’"),
+    ("&#8220;", "“"),
+    ("&#8221;", "”"),
+    ("&#8226;", "•"),
+    ("&#8230;", "…"),
+    ("&#x22;", '"'),
+    ("&#x27;", "'"),
+    ("&#x2F;", "/"),
+    ("&#x2f;", "/"),
+    # '&'-producers LAST (see ordering rule above)
+    ("&#38;", "&"),
+    ("&#x26;", "&"),
     ("&amp;", "&"),
 ]
 
@@ -82,37 +116,67 @@ RE_DOUBLE_QUOTES = "[„“]|('')|(,,)"
 # F.replace on UTF8String bytes (no regex engine, no UTF-16 String garbage
 # — the clean chain is the hottest path at corpus scale), DuckDB as
 # replace(), Python as str.replace. 're' steps go through the regex engines.
-CLEAN_STEPS: list[tuple[str, str, str]] = (
-    [
-        ("re", RE_HTML_COMMENT, ""),
-        ("re", RE_HTML_SCRIPT, ""),
-        ("re", RE_HTML_TAG, ""),
-    ]
-    + [("lit", ent, rep) for ent, rep in HTML_ENTITIES]
-    + [
-        ("lit", RE_DOTS, "..."),
-        ("re", RE_SINGLE_QUOTES, "'"),
-        ("re", RE_DOUBLE_QUOTES, '"'),
-        ("re", RE_WHITESPACE, " "),
-    ]
-)
-
-_COMPILED = [
-    (kind, (re.compile(p) if kind == "re" else p), r)
-    for kind, p, r in CLEAN_STEPS
+#
+# The chain is split into three segments so the Spark builder can GATE the
+# expensive segments on cheap byte tests of the RAW text (the gates are
+# provably semantics-preserving — see ``clean_text``); the flat
+# concatenation remains the spec and is what the DuckDB oracle runs.
+MARKUP_STEPS: list[tuple[str, str, str]] = [
+    ("re", RE_HTML_COMMENT, ""),
+    ("re", RE_HTML_SCRIPT, ""),
+    ("re", RE_HTML_TAG, ""),
 ]
+ENTITY_STEPS: list[tuple[str, str, str]] = [
+    ("lit", ent, rep) for ent, rep in HTML_ENTITIES
+]
+TAIL_STEPS: list[tuple[str, str, str]] = [
+    ("lit", RE_DOTS, "..."),
+    ("re", RE_SINGLE_QUOTES, "'"),
+    ("re", RE_DOUBLE_QUOTES, '"'),
+    ("re", RE_WHITESPACE, " "),
+]
+CLEAN_STEPS: list[tuple[str, str, str]] = MARKUP_STEPS + ENTITY_STEPS + TAIL_STEPS
 
 
-def clean_text(raw: str | None) -> str:
-    """Reference-label cleaner; Spark and DuckDB must match this exactly."""
-    if raw is None:
-        return ""
-    text = raw
-    for kind, pat, rep in _COMPILED:
+def _compile(steps):
+    return [
+        (kind, (re.compile(p) if kind == "re" else p), r) for kind, p, r in steps
+    ]
+
+
+_MARKUP = _compile(MARKUP_STEPS)
+_ENTITY = _compile(ENTITY_STEPS)
+_TAIL = _compile(TAIL_STEPS)
+
+
+def _run(text: str, steps) -> str:
+    for kind, pat, rep in steps:
         if kind == "lit":
             text = text.replace(pat, rep)
         else:
             text = pat.sub(rep, text)
+    return text
+
+
+def clean_text(raw: str | None) -> str:
+    """Reference-label cleaner; Spark and DuckDB must match this exactly.
+
+    Gate argument (mirrored byte-for-byte by ``functions.text.clean_col``):
+    every MARKUP pattern requires a literal '<' to match, and every ENTITY
+    needle contains '&'. Markup stripping only DELETES characters, so a raw
+    text without '&' cannot gain one before the entity segment — hence
+    skipping a segment when raw lacks its trigger byte is a no-op, not an
+    approximation (the '&am<!-- -->p;' case works: raw contains '&', gate
+    fires, comment-strip yields '&amp;' and the entity pass decodes it).
+    """
+    if raw is None:
+        return ""
+    text = raw
+    if "<" in raw:
+        text = _run(text, _MARKUP)
+    if "&" in raw:
+        text = _run(text, _ENTITY)
+    text = _run(text, _TAIL)
     return text.strip(" ")
 
 

@@ -163,41 +163,67 @@ def _step_perplexity(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     return df.withColumn("perplexity", udfs.perplexity_udf(F.col("clean")))
 
 
-def _step_scrub(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+def scrub_chain(
+    df: DataFrame, text_col: str = "clean", prefix: str = "_"
+) -> tuple[DataFrame, list[str], str]:
     """Sequential scrub chain as chained projections: each text state t_i is
-    a materialised column consumed by exactly two expressions (the next
-    count and the next replace), so every pattern scans the text ONCE for
-    the count and once for the replace — O(k) passes, not the O(k^2) a
-    single nested struct expression would cost."""
+    a materialised column consumed by cheap attribute references, so every
+    pattern scans the text at most ONCE — O(k) regex passes, not the O(k^2)
+    a single nested struct expression would cost. Two further cuts on the
+    one-regexp_count-plus-one-regexp_replace-per-step shape (measured on the
+    bench corpus, PLANS.md):
+
+    * hit counts come from the byte-level token-occurrence diff between the
+      post- and pre-replace text (``X.token_occurrences_col`` — exactness
+      argument there), eliminating the per-step ``regexp_count`` pass and
+      its UTF-16 conversion;
+    * steps with a necessary-substring trigger (``X.SCRUB_TRIGGERS``) skip
+      the ``regexp_replace`` entirely when a byte-level ``contains`` proves
+      no match exists — on code corpora that's ~83%% of documents for the
+      email/key/token steps.
+
+    Returns (df, hit_col_names, scrubbed_text_col); caller drops what it
+    doesn't need. Counts equal the kernel's sequential ``subn`` counts
+    row-for-row (tests/test_spark_parity.py).
+    """
     from .kernel import scrub as kscrub
 
-    prev = "clean"
+    prev = text_col
     hit_names = []
     for i, step in enumerate(kscrub.SCRUB_STEPS):
         pat = kscrub.full_pattern(step)
-        cur = f"_scrub_t{i}"
-        df = df.withColumns(
-            {
-                f"_{step.name}_hits": F.regexp_count(F.col(prev), F.lit(pat)),
-                cur: F.regexp_replace(F.col(prev), pat, step.token),
-            }
+        cur = f"{prefix}scrub_t{i}"
+        replaced = F.regexp_replace(F.col(prev), pat, step.token)
+        gate = X.scrub_trigger_col(F.col(prev), step)
+        if gate is not None:
+            replaced = F.when(gate, replaced).otherwise(F.col(prev))
+        df = df.withColumn(cur, replaced)
+        hits = (
+            X.token_occurrences_col(F.col(cur), step.token)
+            - X.token_occurrences_col(F.col(prev), step.token)
         )
-        if prev != "clean":
+        df = df.withColumn(f"{prefix}{step.name}_hits", hits)
+        if prev != text_col:
             df = df.drop(prev)
-        hit_names.append(f"_{step.name}_hits")
+        hit_names.append(f"{prefix}{step.name}_hits")
         prev = cur
+    return df, hit_names, prev
+
+
+def _step_scrub(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    df, hit_names, final = scrub_chain(df, "clean")
     total = None
     for h in hit_names:
         total = F.col(h) if total is None else total + F.col(h)
     df = df.withColumn(
         "_scrub",
         F.struct(
-            F.col(prev).alias("text"),
+            F.col(final).alias("text"),
             *[F.col(h).alias(h[1:]) for h in hit_names],
             total.alias("total_hits"),
         ),
     )
-    return df.drop(prev, *hit_names)
+    return df.drop(final, *hit_names)
 
 
 def _step_minhash(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -244,9 +270,28 @@ def register_operation(name: str, fn: StepFn) -> None:
     OPERATIONS[name] = fn
 
 
+_BUILD_SEQ = 0
+
+
 def build(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
     """Apply the configured steps; unknown step name raises KeyError
-    (reference: unknown op -> AttributeError, tests/test_pipeline.py:147)."""
+    (reference: unknown op -> AttributeError, tests/test_pipeline.py:147).
+
+    The result ends in an ``observe`` (CollectMetrics) node. That is both a
+    free ``files_in`` metric and — deliberately — an OPTIMIZER BARRIER:
+    Catalyst's PushPredicateThroughNonJoin inlines alias definitions with no
+    cost bound, so a downstream ``where(keep)`` would substitute the entire
+    chained regex cascade into one predicate; with the per-state reference
+    fan-out of the scrub chain that inlined tree is EXPONENTIAL in the step
+    count (and CASE branches disable runtime subexpression elimination —
+    PLANS.md), observed as a multi-minute single-task stall on 18 rows.
+    Filters on build() output therefore stop here and evaluate against the
+    computed columns — exactly the 'filter on the written column' rule the
+    engine is built around. Corollary: apply partition/source predicates
+    BEFORE build(), not after (they no longer reach the scan through this
+    boundary).
+    """
+    global _BUILD_SEQ
     cfg = cfg or PipelineConfig()
     for step in cfg.steps:
         try:
@@ -270,7 +315,11 @@ def build(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
         flat["keep"] = F.col("_decision.keep")
         flat["drop_reason"] = F.col("_decision.drop_reason")
     df = df.withColumns(flat)
-    return df.drop("_lid", "_lid_model", "_scrub", "_decision")
+    df = df.drop("_lid", "_lid_model", "_scrub", "_decision")
+    _BUILD_SEQ += 1
+    return df.observe(
+        f"textpipe_build_{_BUILD_SEQ}", F.count(F.lit(1)).alias("files_in")
+    )
 
 
 def salted_repartition(

@@ -187,13 +187,21 @@ SQL_LANG_HISTOGRAM = _sql_lang_histogram()
 # -------------------------------------------------------------------- q: scrub
 
 def q_scrub(spark, sf_dir):
+    from .pipeline import scrub_chain
+
     d = _docs(spark, sf_dir)
-    s = X.scrub_struct_col(F.col("clean"))
-    cols = ["doc_id", s["text"].alias("scrubbed")]
-    cols += [s[f"{n}_hits"].cast("long").alias(f"{n}_hits") for n in kscrub.SCRUB_NAMES]
+    d, hit_names, final = scrub_chain(d, "clean")
+    cols = ["doc_id", F.col(final).alias("scrubbed")]
     cols += [
-        s["total_hits"].cast("long").alias("total_hits"),
-        F.sha2(s["text"], 256).alias("scrubbed_sha256"),
+        F.col(h).cast("long").alias(f"{n}_hits")
+        for h, n in zip(hit_names, kscrub.SCRUB_NAMES)
+    ]
+    total = None
+    for h in hit_names:
+        total = F.col(h) if total is None else total + F.col(h)
+    cols += [
+        total.cast("long").alias("total_hits"),
+        F.sha2(F.col(final), 256).alias("scrubbed_sha256"),
     ]
     return d.select(*cols)
 
