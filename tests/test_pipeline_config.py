@@ -100,3 +100,36 @@ def test_pluggable_match_rules_and_category_head(spark):
 
     cat = df.select(udfs.make_categories_udf(head)(F.col("clean")).alias("c")).first()
     assert cat["c"] == {"code": 1.0}
+
+
+def test_entities_adjacent_two_pass(spark):
+    """ADVICE r2: occurrences separated by ONE boundary char must both be
+    extracted (the consuming guard's pass-1 eats the shared separator; the
+    blank-and-rescan second pass recovers the skipped occurrence). Pinned
+    against BOTH engines — the DuckDB oracle shares the idiom, so a silent
+    both-engines-agree regression cannot pass this."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from textpipe_spark.functions import text as X
+    from textpipe_spark.queries import MATCH_RULES, SQL_ENTITIES
+
+    cases = [(1, "peers 1.2.3.4 5.6.7.8"), (2, "v1.2 v1.3"), (3, "plain text")]
+    df = spark.createDataFrame(cases, "doc_id long, clean string")
+    got = {
+        r["doc_id"]: r["e"]
+        for r in df.select(
+            "doc_id", X.match_entities_col(F.col("clean"), MATCH_RULES).alias("e")
+        ).collect()
+    }
+    assert "IPV4|1.2.3.4" in got[1] and "IPV4|5.6.7.8" in got[1]
+    assert "VERSION|v1.2" in got[2] and "VERSION|v1.3" in got[2]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        "(1, 'peers 1.2.3.4 5.6.7.8'), (2, 'v1.2 v1.3'), (3, 'plain text')"
+        ") t(doc_id, text)"
+    )
+    oracle = dict(con.sql(SQL_ENTITIES).fetchall())
+    assert oracle == got  # engines agree span-for-span

@@ -132,10 +132,8 @@ def fingerprint_overlap_pairs(
     fine-grained per-doc fingerprint default.
     """
     winnow = udfs.make_winnow_udf(k, window)
-    fps = df.select(
-        F.col(id_col), winnow(F.col(text_col)).alias("_fps")
-    ).withColumn("_nfp", F.size("_fps"))
-    exploded = fps.select(id_col, "_nfp", F.explode("_fps").alias("fp"))
+    fps = df.select(F.col(id_col), winnow(F.col(text_col)).alias("_fps"))
+    exploded = fps.select(id_col, F.explode("_fps").alias("fp"))
     rare = (
         exploded.groupBy("fp")
         .agg(F.count("*").alias("_df"))
@@ -143,14 +141,22 @@ def fingerprint_overlap_pairs(
         .select("fp")
     )
     t = exploded.join(F.broadcast(rare), "fp")
-    left = t.select(F.col(id_col).alias("id1"), F.col("_nfp").alias("n1"), "fp")
-    right = t.select(F.col(id_col).alias("id2"), F.col("_nfp").alias("n2"), "fp")
+    # per-doc sizes AFTER the rarity filter — numerator and denominator
+    # count the same fingerprint population (the jaccard_pairs convention);
+    # sizing before the filter underestimated containment for
+    # boilerplate-heavy docs (ADVICE r2). Joined onto the (small) pairs
+    # output, not carried through the exploded index.
+    nfp = t.groupBy(id_col).agg(F.count("*").alias("_nfp"))
+    left = t.select(F.col(id_col).alias("id1"), "fp")
+    right = t.select(F.col(id_col).alias("id2"), "fp")
     pairs = (
         left.join(right, "fp")
         .where(F.col("id1") < F.col("id2"))
-        .groupBy("id1", "id2", "n1", "n2")
+        .groupBy("id1", "id2")
         .agg(F.count("*").alias("shared"))
         .where(F.col("shared") >= min_overlap)
+        .join(nfp.select(F.col(id_col).alias("id1"), F.col("_nfp").alias("n1")), "id1")
+        .join(nfp.select(F.col(id_col).alias("id2"), F.col("_nfp").alias("n2")), "id2")
     )
     containment = F.round(
         F.col("shared").cast("double") / F.least("n1", "n2").cast("double"), 4

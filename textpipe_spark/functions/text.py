@@ -313,14 +313,32 @@ def match_entities_col(clean: Column, rules) -> Column:
     with a pluggable rule set — the regex analogue of the spaCy Matcher
     model_mapping, operation.py:203-224). ``rules`` is a list of
     (name, pattern, extract_group); output is the sorted, deduped
-    'NAME|span' rendering used by the entities query."""
-    parts = [
-        F.transform(
-            F.array_distinct(F.regexp_extract_all(clean, F.lit(pat), g)),
-            lambda m: F.concat_ws("|", F.lit(name), m),
+    'NAME|span' rendering used by the entities query.
+
+    Guarded rules (extract_group > 0, i.e. the pattern wraps its body in
+    the consuming ASCII boundary guard) are extracted in TWO passes —
+    the extraction mirror of the scrub two-pass replace idiom
+    (kernel/scrub.py module doc): a single pass misses every second of two
+    occurrences one boundary char apart, because the first match consumes
+    the shared separator ('peers 1.2.3.4 5.6.7.8' would yield only
+    1.2.3.4). Pass 2 runs on the text with pass-1 matches blanked to a
+    space (non-word, so boundaries stay intact and the blank can neither
+    form nor extend a match for these rule bodies), and the union is
+    deduped. Identical shape in ``_sql_entities`` — ADVICE r2."""
+    parts = []
+    for name, pat, g in rules:
+        matches = F.regexp_extract_all(clean, F.lit(pat), g)
+        if g > 0:
+            blanked = F.regexp_replace(clean, pat, " ")
+            matches = F.concat(
+                matches, F.regexp_extract_all(blanked, F.lit(pat), g)
+            )
+        parts.append(
+            F.transform(
+                F.array_distinct(matches),
+                lambda m: F.concat_ws("|", F.lit(name), m),
+            )
         )
-        for name, pat, g in rules
-    ]
     return F.array_join(F.array_sort(F.flatten(F.array(*parts))), ",")
 
 

@@ -1180,11 +1180,19 @@ def q_entities(spark, sf_dir, rules=None):
 
 
 def _sql_entities() -> str:
-    parts = ", ".join(
-        f"list_transform(list_distinct(regexp_extract_all(clean, {sql_lit(pat)}, {g})), "
-        f"m -> '{name}' || '|' || m)"
-        for name, pat, g in MATCH_RULES
-    )
+    """Two-pass extraction for guarded rules, matching
+    ``X.match_entities_col`` (the blank-and-rescan idiom — ADVICE r2)."""
+
+    def one(name, pat, g):
+        m1 = f"regexp_extract_all(clean, {sql_lit(pat)}, {g})"
+        if g > 0:
+            blanked = f"regexp_replace(clean, {sql_lit(pat)}, ' ', 'g')"
+            m1 = f"{m1} || regexp_extract_all({blanked}, {sql_lit(pat)}, {g})"
+        return (
+            f"list_transform(list_distinct({m1}), m -> '{name}' || '|' || m)"
+        )
+
+    parts = ", ".join(one(name, pat, g) for name, pat, g in MATCH_RULES)
     return f"""
 WITH base AS (SELECT doc_id, {CLEAN} AS clean FROM documents)
 SELECT doc_id,

@@ -283,6 +283,8 @@ def knn_join_label_brute(
     the scale path is ``knn_join_label`` (blocked local-top-k join)."""
     from pyspark.sql import Window
 
+    # zero-norm exclusion: keep both tiers + the SQL oracle consistent
+    vectors = vectors.where(F.exists(vec_col, lambda x: x != 0))
     scored = queries.alias("q").crossJoin(vectors.alias("v")).select(
         F.col(f"q.{id_col}").alias("query_id"),
         F.col(f"v.{id_col}").alias("corpus_id"),
@@ -319,7 +321,13 @@ def knn_join_label(
     """
     from pyspark.sql import Window
 
-    c = vectors.select(
+    # exclude zero-norm corpus vectors BEFORE blocking — cosine is
+    # undefined for them; the oracle (SQL_KNN_LABEL) and
+    # blocked_cosine_pairs both exclude them, and keeping them here would
+    # let a cosine-0 row outrank negative-cosine true neighbours (ADVICE r2)
+    c = vectors.where(
+        F.exists(vec_col, lambda x: x != 0)
+    ).select(
         F.lit(0).alias("_side"),
         F.col(id_col).alias("_id"),
         F.col(label_col).alias("_label"),

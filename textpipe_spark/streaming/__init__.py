@@ -127,22 +127,45 @@ def near_dup_dedup_stream(
     128-int signature, too wide for per-group operator state):
 
       per micro-batch: signature -> band hashes -> equi-join against the
-      PERSISTED band index (everything survived so far) AND within-batch
-      LSH pairs -> drop collisions above threshold -> append survivors to
-      the sink and their bands to the index.
+      PERSISTED band index (everything survived so far) -> rejoin survivor
+      signatures -> verify EVERY candidate pair against the threshold AND
+      within-batch LSH pairs -> drop verified collisions -> write survivors
+      to the sink, their band rows to the index, their signatures to the
+      sigs side table.
 
-    The index is itself a parquet table partitioned-by-write on band_idx —
-    at scale the join is an equi-join on (band_idx, band_hash) against an
-    append-only table, and foreachBatch's epoch id gives idempotent
-    retries. Precision is exact (signature verify on candidates), recall
-    is the LSH band/row trade-off, identical to the batch tier.
+    Scale shape of the persisted state (the 100 TB story):
+
+    * the band index stores ONLY (band_hash, idx_did) under a
+      band_idx=N/ partition directory — ~24 B per row, 16 rows per kept
+      doc; signatures are NOT duplicated per band;
+    * full 128-int signatures live once per doc in a (idx_did, minhash)
+      side table, equi-joined only for docs that band-collide;
+    * both tables (and the sink) are partitioned by _epoch and written
+      with DYNAMIC partition overwrite, so a retried micro-batch replaces
+      exactly its own epoch partitions — idempotent retries, not blind
+      appends;
+    * compaction: epoch partitioning fragments the index over time —
+      periodically rewrite index+sigs collapsing old epochs into the
+      reserved ``_epoch=-1`` compaction partition (a pure repartition-and-
+      write maintenance job; -1 is always < any live epoch so it stays
+      visible to the ``_epoch < current`` read below); the join shape is
+      unchanged.
+
+    Precision is exact: every (incoming, indexed) candidate pair is
+    verified with the signature-similarity estimate BEFORE any
+    keep-one-candidate reduction, so a doc colliding with several indexed
+    docs is dropped if ANY of them clears the threshold. Recall is the
+    LSH band/row trade-off, identical to the batch tier.
     """
     from ..dedup import minhash_lsh_pairs, with_minhash
     from .. import udfs
     from ..kernel.minhash import NUM_PERM
 
+    sigs_dir = index_dir.rstrip("/") + "_sigs"
+
     def process_batch(batch_df: DataFrame, epoch_id: int):
         spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         sig = with_minhash(batch_df, text_col).withColumn(
             "_did", F.xxhash64(F.col(id_col))
         )
@@ -158,21 +181,44 @@ def near_dup_dedup_stream(
             from pyspark.errors import AnalysisException
 
             try:
-                index = spark.read.parquet(index_dir)
-                cands = banded.join(index, ["band_idx", "band_hash"]).select(
-                    "_did", F.col("minhash").alias("mh1"),
-                    F.col("idx_minhash").alias("mh2"),
-                ).dropDuplicates(["_did"])
+                # prior epochs ONLY (partition-pruned): a retried epoch must
+                # not see its own partial previous attempt (it would drop
+                # every incoming doc as a self-duplicate), and the epoch-N
+                # overwrite below must never touch files this read plan
+                # still references (lazy plans re-evaluate per write)
+                index = spark.read.parquet(index_dir).where(
+                    F.col("_epoch") < F.lit(int(epoch_id))
+                )
+                sigs = spark.read.parquet(sigs_dir).where(
+                    F.col("_epoch") < F.lit(int(epoch_id))
+                )
+                # all (incoming, indexed) band collisions, deduped at PAIR
+                # granularity; the similarity verify runs per pair and only
+                # then collapses to per-_did (ADVICE r2: collapsing first
+                # checked one arbitrary candidate and silently lost recall)
+                pairs = (
+                    banded.join(index, ["band_idx", "band_hash"])
+                    .select("_did", "minhash", "idx_did")
+                    .dropDuplicates(["_did", "idx_did"])
+                    .join(sigs.select("idx_did", F.col("minhash").alias("mh2")),
+                          "idx_did")
+                )
                 est = (
                     F.size(
                         F.filter(
-                            F.zip_with(F.col("mh1"), F.col("mh2"), lambda a, b: a == b),
+                            F.zip_with(
+                                F.col("minhash"), F.col("mh2"), lambda a, b: a == b
+                            ),
                             lambda x: x,
                         )
                     ).cast("double")
                     / F.lit(float(NUM_PERM))
                 )
-                hist_dups = cands.where(F.round(est, 4) >= threshold).select("_did")
+                hist_dups = (
+                    pairs.where(F.round(est, 4) >= threshold)
+                    .select("_did")
+                    .distinct()
+                )
             except AnalysisException as exc:
                 # only the first batch (index table not created yet) may
                 # pass — anything else is a real failure
@@ -186,14 +232,42 @@ def near_dup_dedup_stream(
             )
             batch_losers = batch_pairs.select(F.col("id2").alias("_did")).distinct()
             losers = hist_dups.union(batch_losers).distinct()
-            kept = sig.join(losers, "_did", "left_anti")
-            kept.drop("_did", "minhash").write.mode("append").parquet(out_dir)
-            kept.select(
-                F.posexplode(udfs.lsh_bands_col(F.col("minhash"), bands)).alias(
-                    "band_idx", "band_hash"
-                ),
-                F.col("minhash").alias("idx_minhash"),
-            ).write.mode("append").parquet(index_dir)
+            kept = sig.join(losers, "_did", "left_anti").withColumn(
+                "_epoch", F.lit(int(epoch_id))
+            )
+            # materialise once: the three writes below would otherwise each
+            # re-run the band joins + verify
+            kept = kept.persist()
+            kept.count()
+            (
+                kept.drop("_did", "minhash")
+                .write.mode("overwrite")
+                .partitionBy("_epoch")
+                .parquet(out_dir)
+            )
+            (
+                kept.select(
+                    F.col("_epoch"),
+                    F.posexplode(udfs.lsh_bands_col(F.col("minhash"), bands)).alias(
+                        "band_idx", "band_hash"
+                    ),
+                    F.col("_did").alias("idx_did"),
+                )
+                .write.mode("overwrite")
+                .partitionBy("_epoch", "band_idx")
+                .parquet(index_dir)
+            )
+            (
+                kept.select(
+                    F.col("_epoch"),
+                    F.col("_did").alias("idx_did"),
+                    F.col("minhash"),
+                )
+                .write.mode("overwrite")
+                .partitionBy("_epoch")
+                .parquet(sigs_dir)
+            )
+            kept.unpersist()
         finally:
             sig.unpersist()
 
