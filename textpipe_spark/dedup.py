@@ -49,8 +49,16 @@ def minhash_lsh_pairs(
     signature (one UDF pass) → explode band hashes → self-join per band →
     distinct candidates → verify with native array compare (no Python).
     """
-    sig = with_minhash(df.select(id_col, text_col), text_col).select(
-        id_col, "minhash"
+    # persist: the signature table fans out to the two band-join sides and
+    # the two mh1/mh2 rejoin sides; without the cache the minhash UDF runs
+    # once per consumer (Catalyst does not dedupe common subplans). ~0.5 KB
+    # per doc, MEMORY_AND_DISK spills at scale.
+    from pyspark import StorageLevel
+
+    sig = (
+        with_minhash(df.select(id_col, text_col), text_col)
+        .select(id_col, "minhash")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # band join carries ONLY (id, band) — the 128-int signatures rejoin
     # after pair dedup, so the shuffled band rows stay ~16 bytes each.
@@ -132,7 +140,17 @@ def fingerprint_overlap_pairs(
     fine-grained per-doc fingerprint default.
     """
     winnow = udfs.make_winnow_udf(k, window)
-    fps = df.select(F.col(id_col), winnow(F.col(text_col)).alias("_fps"))
+    # persist the per-doc fingerprint arrays: this subplan fans out to THREE
+    # consumers (df-cap aggregate, inverted-index join sides, per-doc
+    # sizes), and common subplans are NOT deduplicated by Catalyst — without
+    # the cache the winnow UDF re-runs once per consumer (measured 4x the
+    # UDF cost at sf0.1). The cached table is ~1/window of the corpus bytes
+    # (fingerprint density), MEMORY_AND_DISK spills at scale.
+    from pyspark import StorageLevel
+
+    fps = df.select(F.col(id_col), winnow(F.col(text_col)).alias("_fps")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     exploded = fps.select(id_col, F.explode("_fps").alias("fp"))
     rare = (
         exploded.groupBy("fp")
@@ -179,7 +197,13 @@ def simhash_near_dup_pairs(
     """SimHash near-dup candidates: block on each of 4 16-bit chunks (a pair
     within Hamming distance 3 of 64 bits shares at least one exact chunk by
     pigeonhole), verify with native bit_count."""
-    sim = df.select(id_col, udfs.simhash_udf(F.col(text_col)).alias("simhash"))
+    from pyspark import StorageLevel
+
+    # persist: both self-join sides would otherwise re-run the simhash UDF
+    # (and the clean chain feeding it); 16 bytes per doc cached
+    sim = df.select(
+        id_col, udfs.simhash_udf(F.col(text_col)).alias("simhash")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     chunks = F.array(
         *[
             F.struct(

@@ -567,13 +567,19 @@ def _shingle_tokens(d):
 
 
 def q_jaccard_pairs(spark, sf_dir, df_cap: int = JACCARD_DF_CAP):
+    from pyspark import StorageLevel
+
     d = _docs(spark, sf_dir)
-    t_all = _shingle_tokens(d)
+    # persist the exploded shingle table: it fans out to the df-cap
+    # aggregate, both self-join sides and the size aggregate, and each
+    # consumer would otherwise re-run the clean chain + tokenisation +
+    # shingling (no common-subplan dedup in Catalyst)
+    t_all = _shingle_tokens(d).persist(StorageLevel.MEMORY_AND_DISK)
     df_counts = t_all.groupBy("token").agg(F.count("*").alias("df"))
     t = t_all.join(
         F.broadcast(df_counts.where(F.col("df") <= df_cap).select("token")),
         "token",
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = t.groupBy("doc_id").agg(F.count("*").alias("sz"))
     pairs = (
         t.alias("a")
