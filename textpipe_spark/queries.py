@@ -1510,6 +1510,318 @@ def q_flagship_model(spark, sf_dir):
     )
 
 
+# ----------------------------------------- driver-visible kernel parity
+#
+# The model/hash operators have no DuckDB oracle (sha1 arithmetic,
+# iterative PageRank, NB inference are not SQL expressions). Their
+# kernel<->Spark parity used to live only in pytest — invisible to the
+# driver's CORRECTNESS report. Each *_parity query below closes that gap
+# (VERDICT r2 #2): it runs the DISTRIBUTED tier (Arrow pandas UDF or the
+# pipeline builder) AND the pure-kernel golden (mapInPandas, fresh direct
+# kernel calls per row) in the same job, joins them on doc_id, and emits a
+# per-doc mismatch count. The oracle is the constant-zero frame on the
+# same key set — so a hash-green row IS the statement "the distributed
+# path reproduced the kernel spec byte-for-byte on every document"
+# (Arrow round-trips, batching, worker singletons, the JVM clean chain
+# feeding the UDFs — all on the hook). Values compare NATIVELY
+# (eqNullSafe on arrays/structs; maps are compared as sorted entry
+# arrays) — never via re-rendered strings, which would test Java-vs-
+# Python float formatting instead of the operator.
+
+_PARITY_ORACLE = "SELECT doc_id, CAST(0 AS BIGINT) AS n_mismatches FROM documents"
+
+
+def _parity_query(fields, golden_fn, spark_cols_fn):
+    """Build a parity query. ``fields``: [(name, spark_sql_type)] of the
+    compared values (no doc_id); ``golden_fn(raw) -> tuple`` in field
+    order (pure kernel, runs inside mapInPandas on workers);
+    ``spark_cols_fn() -> {name: Column}`` over the ``_docs`` frame
+    (doc_id, raw, clean) — the distributed tier under test."""
+
+    names = [n for n, _ in fields]
+    schema = "doc_id long, " + ", ".join(f"g_{n} {t}" for n, t in fields)
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            vals = [golden_fn(t) for t in pdf["_raw"]]
+            out = pd.DataFrame(vals, columns=[f"g_{n}" for n in names])
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield out
+
+    def q(spark, sf_dir):
+        d = _docs(spark, sf_dir)
+        s = d.select(
+            "doc_id", *[c.alias(f"s_{n}") for n, c in spark_cols_fn().items()]
+        )
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("_raw")
+        )
+        g = docs.mapInPandas(gen, schema=schema)
+        j = s.join(g, "doc_id")
+        mism = None
+        for n in names:
+            m = F.when(F.col(f"s_{n}").eqNullSafe(F.col(f"g_{n}")), 0).otherwise(1)
+            mism = m if mism is None else mism + m
+        return j.select("doc_id", mism.cast("long").alias("n_mismatches"))
+
+    return q
+
+
+def _g_clean(raw):
+    from .kernel import clean as kclean
+
+    return kclean.clean_text(raw)
+
+
+def _golden_minhash(raw):
+    from .kernel import minhash as kmh
+
+    return (kmh.minhash_text(_g_clean(raw)),)
+
+
+def _golden_simhash(raw):
+    from .kernel import minhash as kmh
+
+    return (kmh.simhash64([w.lower() for w in ktok._WORD.findall(_g_clean(raw))]),)
+
+
+def _golden_fingerprint(raw):
+    from .kernel import minhash as kmh
+
+    return (kmh.winnow_fingerprints(_g_clean(raw)),)
+
+
+def _golden_words(raw):
+    return (ktok.words(_g_clean(raw)),)
+
+
+def _golden_sentences(raw):
+    return (ktok.sentences(_g_clean(raw)),)
+
+
+def _golden_keyterms(raw):
+    from .kernel import textrank as ktr
+
+    return (ktr.keyterms(_g_clean(raw)),)
+
+
+def _golden_summary(raw):
+    from .kernel import textrank as ktr
+
+    return (ktr.summary(_g_clean(raw)),)
+
+
+def _golden_doc_vector(raw):
+    from .kernel import vectors as kvec
+
+    return (kvec.document_vector(_g_clean(raw)),)
+
+
+def _golden_doc_embedding(raw):
+    from .kernel import vectors as kvec
+
+    return (kvec.doc_embedding(_g_clean(raw)),)
+
+
+def _golden_word_vectors(raw):
+    import numpy as np
+
+    from .kernel import vectors as kvec
+    from .kernel.vectors import _TRAIN_COUNTS
+
+    toks = {t.lower() for t in ktok._WORD.findall(_g_clean(raw))}
+    out = []
+    for t in sorted(toks):
+        if t in _TRAIN_COUNTS:
+            v = kvec.word_vector(t)
+            out.append(
+                (t, (True, float(np.linalg.norm(v)), False, [float(x) for x in v]))
+            )
+        else:
+            out.append((t, (False, 0.0, True, [])))
+    return (out,)
+
+
+def _golden_categories(raw):
+    return (sorted(klangid.categories(_g_clean(raw)).items()),)
+
+
+def _golden_langid_model(raw):
+    return klangid.get_model().score(_g_clean(raw))
+
+
+def _golden_perplexity(raw):
+    from .kernel import lm as klm
+
+    return (klm.get_lm().perplexity(_g_clean(raw)),)
+
+
+def _golden_flagship_model(raw):
+    from .kernel import doc as kdoc
+
+    p = kdoc.process(raw, CFG)
+    return (
+        p["lang"],
+        p["lang_model"],
+        p["lang_model_conf"],
+        p["perplexity"],
+        p["nwords"],
+        p["keep"],
+        p["drop_reason"],
+        p["scrubbed_sha256"],
+    )
+
+
+_WV_TYPE = (
+    "array<struct<key:string,value:struct<has_vector:boolean,"
+    "vector_norm:double,is_oov:boolean,vector:array<float>>>>"
+)
+
+q_minhash_parity = _parity_query(
+    [("mh", "array<bigint>")],
+    _golden_minhash,
+    lambda: {"mh": udfs.minhash_udf(F.col("clean"))},
+)
+q_simhash_parity = _parity_query(
+    [("sh", "bigint")],
+    _golden_simhash,
+    lambda: {"sh": udfs.simhash_udf(F.col("clean"))},
+)
+q_fingerprint_parity = _parity_query(
+    [("fp", "array<bigint>")],
+    _golden_fingerprint,
+    lambda: {"fp": udfs.winnow_udf(F.col("clean"))},
+)
+q_words_parity = _parity_query(
+    [("w", "array<struct<token:string,offset:int>>")],
+    _golden_words,
+    lambda: {"w": udfs.words_udf(F.col("clean"))},
+)
+q_sentences_parity = _parity_query(
+    [("s", "array<struct<text:string,start:int>>")],
+    _golden_sentences,
+    lambda: {"s": udfs.sentences_udf(F.col("clean"))},
+)
+q_keyterms_parity = _parity_query(
+    [("kt", "array<struct<term:string,score:double>>")],
+    _golden_keyterms,
+    lambda: {"kt": udfs.keyterms_udf(F.col("clean"))},
+)
+q_summary_parity = _parity_query(
+    [("sm", "array<string>")],
+    _golden_summary,
+    lambda: {"sm": udfs.summary_udf(F.col("clean"))},
+)
+q_doc_vector_parity = _parity_query(
+    [("dv", "array<double>")],
+    _golden_doc_vector,
+    lambda: {"dv": udfs.doc_vector_udf(F.col("clean"))},
+)
+q_doc_embedding_parity = _parity_query(
+    [("de", "array<double>")],
+    _golden_doc_embedding,
+    lambda: {"de": udfs.doc_embedding_udf(F.col("clean"))},
+)
+q_word_vectors_parity = _parity_query(
+    [("wv", _WV_TYPE)],
+    _golden_word_vectors,
+    lambda: {"wv": F.array_sort(F.map_entries(udfs.word_vectors_udf(F.col("clean"))))},
+)
+q_categories_parity = _parity_query(
+    [("cat", "array<struct<key:string,value:double>>")],
+    _golden_categories,
+    lambda: {"cat": F.array_sort(F.map_entries(udfs.categories_udf(F.col("clean"))))},
+)
+q_langid_model_parity = _parity_query(
+    [("lang", "string"), ("conf", "double"), ("reliable", "boolean")],
+    _golden_langid_model,
+    lambda: {
+        "lang": udfs.langid_model_udf(F.col("clean"))["lang"],
+        "conf": udfs.langid_model_udf(F.col("clean"))["conf"],
+        "reliable": udfs.langid_model_udf(F.col("clean"))["reliable"],
+    },
+)
+q_perplexity_lm_parity = _parity_query(
+    [("ppl", "double")],
+    _golden_perplexity,
+    lambda: {"ppl": udfs.perplexity_udf(F.col("clean"))},
+)
+
+
+def q_flagship_model_parity(spark, sf_dir):
+    """Whole-pipeline parity: the model-tier flagship (pipeline builder,
+    Arrow UDF tiers, length pre-gate) against ``kernel.doc.process`` row
+    by row. Values compare UNROUNDED (same kernel code on both sides —
+    bit-exact doubles through Arrow); oracle = constant-zero frame."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    cfg = PipelineConfig(
+        steps=[
+            "clean", "langid", "langid_model", "token_stats", "complexity",
+            "perplexity", "scrub", "decide",
+        ],
+        raw_col="text",
+    )
+    out = build(df, cfg)
+    s = out.select(
+        "doc_id",
+        F.col("lang").alias("s_lang"),
+        F.col("lang_model").alias("s_lang_model"),
+        F.col("lang_model_conf").alias("s_conf"),
+        F.col("perplexity").alias("s_ppl"),
+        F.col("nwords").cast("long").alias("s_nwords"),
+        F.col("keep").alias("s_keep"),
+        F.col("drop_reason").alias("s_drop_reason"),
+        F.col("scrubbed_sha256").alias("s_sha"),
+    )
+    names = ["lang", "lang_model", "conf", "ppl", "nwords", "keep",
+             "drop_reason", "sha"]
+    schema = ("doc_id long, g_lang string, g_lang_model string, g_conf double, "
+              "g_ppl double, g_nwords long, g_keep boolean, "
+              "g_drop_reason string, g_sha string")
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            vals = [_golden_flagship_model(t) for t in pdf["_raw"]]
+            out_ = pd.DataFrame(vals, columns=[f"g_{n}" for n in names])
+            out_.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield out_
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("_raw")
+    )
+    g = docs.mapInPandas(gen, schema=schema)
+    j = s.join(g, "doc_id")
+    mism = None
+    for n in names:
+        m = F.when(F.col(f"s_{n}").eqNullSafe(F.col(f"g_{n}")), 0).otherwise(1)
+        mism = m if mism is None else mism + m
+    return j.select("doc_id", mism.cast("long").alias("n_mismatches"))
+
+
+PARITY_QUERIES = {
+    "minhash_parity": q_minhash_parity,
+    "simhash_parity": q_simhash_parity,
+    "fingerprint_parity": q_fingerprint_parity,
+    "words_parity": q_words_parity,
+    "sentences_parity": q_sentences_parity,
+    "keyterms_parity": q_keyterms_parity,
+    "summary_parity": q_summary_parity,
+    "doc_vector_parity": q_doc_vector_parity,
+    "doc_embedding_parity": q_doc_embedding_parity,
+    "word_vectors_parity": q_word_vectors_parity,
+    "categories_parity": q_categories_parity,
+    "langid_model_parity": q_langid_model_parity,
+    "perplexity_lm_parity": q_perplexity_lm_parity,
+    "flagship_model_parity": q_flagship_model_parity,
+}
+
+
 # ------------------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1564,6 +1876,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship": q_flagship,
     "flagship_model": q_flagship_model,
     "multimodal_features": q_multimodal_features,
+    # driver-visible kernel parity (distributed tier vs pure-kernel golden
+    # in one job; oracle = constant-zero mismatch frame)
+    **PARITY_QUERIES,
 }
 
 ORACLES: dict[str, str] = {
@@ -1599,4 +1914,5 @@ ORACLES: dict[str, str] = {
     "flagship": SQL_FLAGSHIP,
     "emojis_annotated": SQL_EMOJIS_ANNOTATED,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    **{name: _PARITY_ORACLE for name in PARITY_QUERIES},
 }
