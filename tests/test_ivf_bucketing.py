@@ -22,6 +22,40 @@ def test_ivf_topk_beats_random(spark):
     assert max(cell_sizes.values()) < emb.count()
 
 
+def test_ivf_topk_batch_matches_single_and_recall(spark):
+    """The in-plan batch probe (VERDICT r2 #7): per-query results equal the
+    single-query wrapper, recall vs exact is pinned, and the plan contains
+    no CartesianProduct (cell equi-join, centroid UDF closure — no
+    driver-side .first()/argsort)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cand = emb.where(F.col("vec_id") >= 3)
+    indexed, model = similarity.build_ivf_index(cand, dim=64, n_cells=8)
+    qs = emb.where(F.col("vec_id") < 3).select(
+        "vec_id", F.col("embedding").alias("qvec")
+    )
+    batch = similarity.ivf_topk_batch(indexed, model, qs, k=10, n_probe=3)
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert set(got) == {0, 1, 2}
+    for qid in got:
+        q1 = emb.where(F.col("vec_id") == qid).select(
+            F.col("embedding").alias("qvec")
+        )
+        single = {
+            r["vec_id"]
+            for r in similarity.ivf_topk(indexed, model, q1, k=10, n_probe=3).collect()
+        }
+        assert got[qid] == single  # batch == single-query wrapper
+        exact = {
+            r["vec_id"]
+            for r in similarity.brute_force_topk(cand, q1, k=10).collect()
+        }
+        assert len(got[qid] & exact) >= 4  # recall floor probing 3/8 cells
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path_factory):
     """Two tables bucketed on the same key join WITHOUT a shuffle."""
     docs = spark.createDataFrame(

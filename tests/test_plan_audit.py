@@ -31,3 +31,32 @@ def test_no_unplanned_products(spark, name):
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name} plans a BroadcastNestedLoopJoin outside the 1-row whitelist"
         )
+
+
+def test_flagship_plan_is_map_only(spark):
+    """The flagship keep/drop+scrub pipeline must stay a single map-only
+    stage: scan -> projections -> sink, NO Exchange. Any future shuffle in
+    this path (an accidental groupBy/repartition/window) multiplies the
+    100 TB cost and fails here."""
+    df = QUERIES["flagship"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "flagship plan gained a shuffle:\n" + plan
+
+
+def test_near_dup_tiers_shuffle_only_by_hash(spark):
+    """Near-dup/pair tiers may shuffle — but only hash-partition exchanges
+    (equi-join/aggregate shuffles). A rangepartitioning (global sort) or
+    SinglePartition exchange in these paths is a scale regression."""
+    import re
+
+    for name in ("minhash_lsh_pairs", "simhash_dedup", "fingerprint_overlap",
+                 "jaccard_pairs", "embedding_near_dup", "exact_dedup"):
+        df = QUERIES[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # shuffle exchanges only (BroadcastExchange of a small side is the
+        # desired plan); every shuffle must be hashpartitioning
+        for m in re.finditer(r"(?<!Broadcast)Exchange (\w+)", plan):
+            kind = m.group(1)
+            assert kind == "hashpartitioning", (
+                f"{name}: non-hash shuffle exchange {kind} in\n{plan}"
+            )

@@ -779,6 +779,29 @@ def q_ann_topk_lsh(spark, sf_dir):
     )
 
 
+def q_ann_topk_ivf(spark, sf_dir):
+    """Approximate top-k via IVF coarse quantisation (KMeans cells +
+    n_probe nearest-cell equi-join), batch-query form — fully in-plan
+    (similarity.ivf_topk_batch). No SQL oracle: KMeans centroids are not a
+    SQL expression; recall vs the exact tier is pytest-pinned
+    (tests/test_ivf_bucketing.py) and the exact tier (ann_topk) is
+    oracle-checked."""
+    from .similarity import build_ivf_index, ivf_topk_batch
+
+    emb = _emb(spark, sf_dir)
+    qs = emb.where(F.col("vec_id") < 3).select(
+        "vec_id", F.col("embedding").alias("qvec")
+    )
+    cand = emb.where(F.col("vec_id") >= 3)
+    indexed, model = build_ivf_index(cand, dim=64, n_cells=8)
+    out = ivf_topk_batch(indexed, model, qs, k=ANN_K, n_probe=3)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.round(F.col("cosine"), 4).alias("cosine"),
+    )
+
+
 # ---------------------------------------------------------- q: doc vector stats
 
 def q_doc_vector_stats(spark, sf_dir):
@@ -1843,6 +1866,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jaccard_pairs": q_jaccard_pairs,
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
+    "ann_topk_ivf": q_ann_topk_ivf,
     "knn_label": q_knn_label,
     "embedding_near_dup": q_embedding_near_dup,
     "doc_vector_stats": q_doc_vector_stats,
