@@ -97,7 +97,8 @@ def nonprintable_ratio_col(raw: Column) -> Column:
 
 def repeated_line_fraction_col(raw: Column) -> Column:
     lines = F.split(raw, "\n")
-    trimmed = F.transform(lines, lambda s: F.regexp_replace(s, "^[ \t]+|[ \t]+$", ""))
+    # btrim == kernel ln.strip(" \t"): byte-level, no per-line regex engine
+    trimmed = F.transform(lines, lambda s: F.btrim(s, F.lit(" \t")))
     nonempty = F.filter(trimmed, lambda s: s != F.lit(""))
     total = F.size(nonempty)
     distinct = F.size(F.array_distinct(nonempty))
@@ -121,7 +122,8 @@ def mean_word_length_from_words(toks: Column) -> Column:
 def nonempty_lines_col(raw: Column) -> Column:
     """Trimmed non-empty lines of the raw text (repeated-line rule input)."""
     lines = F.split(raw, "\n")
-    trimmed = F.transform(lines, lambda s: F.regexp_replace(s, "^[ \t]+|[ \t]+$", ""))
+    # btrim == kernel ln.strip(" \t"): byte-level, no per-line regex engine
+    trimmed = F.transform(lines, lambda s: F.btrim(s, F.lit(" \t")))
     return F.filter(trimmed, lambda s: s != F.lit(""))
 
 
@@ -138,8 +140,22 @@ def repeated_line_fraction_from_lines(nonempty: Column) -> Column:
 
 def tokens_lower_col(clean: Column) -> Column:
     """Lowercased RE_WORD tokens — materialise this ONCE and feed it to all
-    stopword counts (HOF lambdas re-evaluate inline subexpressions)."""
-    return F.regexp_extract_all(F.lower(clean), F.lit(ktok.RE_WORD), 0)
+    stopword counts (HOF lambdas re-evaluate inline subexpressions).
+
+    Tokenise FIRST, then lowercase per token (``transform(words, lower)``)
+    — exactly the kernel's ``[t.lower() for t in findall(RE_WORD, clean)]``
+    (kernel/langid.py detect_stopwords). This both shares the one RE_WORD
+    extraction with token_stats (the old ``lower(text)`` form paid a second
+    full-text regex pass) and removes a dialect hazard: lowercasing full
+    text can map chars INTO the token class (U+212A KELVIN SIGN -> 'k'),
+    where per-token lowering only ever sees class chars, whose Latin-1
+    mapping is identical in Python, Java and DuckDB."""
+    return tokens_lower_from_words(words_col(clean))
+
+
+def tokens_lower_from_words(words: Column) -> Column:
+    """Lowercase a materialised RE_WORD token array (computed once)."""
+    return F.transform(words, lambda t: F.lower(t))
 
 
 def stopword_count_from_tokens(toks: Column, lang: str) -> Column:

@@ -76,8 +76,8 @@ def nonprintable_ratio_sql(raw: str) -> str:
 
 
 def repeated_line_fraction_sql(raw: str) -> str:
-    trim_pat = "^[ \t]+|[ \t]+$"
-    trimmed = rr("s", trim_pat, "")
+    # trim(s, chars) == kernel ln.strip(" \t") — no per-line regex engine
+    trimmed = "trim(s, ' ' || chr(9))"
     lines = (
         f"list_filter(list_transform(string_split({raw}, chr(10)), "
         f"s -> {trimmed}), s -> s != '')"
@@ -100,8 +100,13 @@ def mean_word_length_sql(clean: str) -> str:
 
 def tokens_lower_sql(clean: str) -> str:
     """Lowercased RE_WORD token list — compute once per row (CTE column)
-    and feed every stopword count."""
-    return f"regexp_extract_all(lower({clean}), {sql_lit(ktok.RE_WORD)})"
+    and feed every stopword count. Tokenise first, lowercase per token —
+    the kernel's detect_stopwords order (see functions/text.py
+    tokens_lower_col for the dialect argument)."""
+    return (
+        f"list_transform(regexp_extract_all({clean}, "
+        f"{sql_lit(ktok.RE_WORD)}), t -> lower(t))"
+    )
 
 
 def stopword_count_sql(toks: str, lang: str) -> str:

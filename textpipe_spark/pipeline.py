@@ -96,12 +96,24 @@ def _step_clean(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     )
 
 
+def _ensure_words(df: DataFrame) -> DataFrame:
+    """Materialise the RE_WORD token array ONCE for every consumer (langid's
+    lowered tokens, nwords, mean_word_length). One full-text regex
+    extraction per row total — langid and token_stats used to pay one each."""
+    if "_words" not in df.columns:
+        df = df.withColumn("_words", X.words_col(F.col("clean")))
+    return df
+
+
 def _step_langid(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     # one tokenization, then token-set membership counts (no per-language
     # regex passes); the argmax projection works on cheap int attributes
     from .kernel import langid as klangid
 
-    df = df.withColumn("_sw_toks", X.tokens_lower_col(F.col("clean")))
+    df = _ensure_words(df)
+    df = df.withColumn(
+        "_sw_toks", X.tokens_lower_from_words(F.col("_words"))
+    )
     counts = {
         f"_sw_{lg}": X.stopword_count_from_tokens(F.col("_sw_toks"), lg)
         for lg in klangid.LANG_ORDER
@@ -128,11 +140,9 @@ def _step_token_stats(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     gate = _len_ok(cfg)
     # materialise the token/line arrays once — their consumers (counts,
     # ratios, mean length) would otherwise each re-run the extraction
-    df = df.withColumns(
-        {
-            "_words": X.words_col(clean),
-            "_lines": F.when(gate, X.nonempty_lines_col(F.col(cfg.raw_col))),
-        }
+    df = _ensure_words(df)
+    df = df.withColumn(
+        "_lines", F.when(gate, X.nonempty_lines_col(F.col(cfg.raw_col)))
     )
     df = df.withColumns(
         {
@@ -148,7 +158,7 @@ def _step_token_stats(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
             "mean_word_length": X.mean_word_length_from_words(F.col("_words")),
         }
     )
-    return df.drop("_words", "_lines")
+    return df.drop("_lines")  # _words stays shared; build() drops it
 
 
 def _step_complexity(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -195,14 +205,28 @@ def scrub_chain(
         cur = f"{prefix}scrub_t{i}"
         replaced = F.regexp_replace(F.col(prev), pat, step.token)
         gate = X.scrub_trigger_col(F.col(prev), step)
-        if gate is not None:
-            replaced = F.when(gate, replaced).otherwise(F.col(prev))
-        df = df.withColumn(cur, replaced)
         hits = (
             X.token_occurrences_col(F.col(cur), step.token)
             - X.token_occurrences_col(F.col(prev), step.token)
         )
-        df = df.withColumn(f"{prefix}{step.name}_hits", hits)
+        if gate is not None:
+            # materialise the trigger ONCE (CASE disables CSE, so an inline
+            # gate would re-scan its contains tests for text AND hits), then
+            # skip BOTH the regex pass and the 4 occurrence byte-scans when
+            # the necessary substring is absent. NULL text keeps NULL hits
+            # (gate is NULL then), matching the ungated steps' NULL algebra.
+            g = f"{prefix}scrub_g{i}"
+            df = df.withColumn(g, gate)
+            replaced = F.when(F.col(g), replaced).otherwise(F.col(prev))
+            df = df.withColumn(cur, replaced)
+            hits = F.when(F.col(g), hits).otherwise(
+                F.when(F.col(prev).isNull(), F.lit(None)).otherwise(F.lit(0))
+                .cast("long")
+            )
+            df = df.withColumn(f"{prefix}{step.name}_hits", hits).drop(g)
+        else:
+            df = df.withColumn(cur, replaced)
+            df = df.withColumn(f"{prefix}{step.name}_hits", hits)
         if prev != text_col:
             df = df.drop(prev)
         hit_names.append(f"{prefix}{step.name}_hits")
@@ -315,7 +339,7 @@ def build(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
         flat["keep"] = F.col("_decision.keep")
         flat["drop_reason"] = F.col("_decision.drop_reason")
     df = df.withColumns(flat)
-    df = df.drop("_lid", "_lid_model", "_scrub", "_decision")
+    df = df.drop("_lid", "_lid_model", "_scrub", "_decision", "_words")
     _BUILD_SEQ += 1
     return df.observe(
         f"textpipe_build_{_BUILD_SEQ}", F.count(F.lit(1)).alias("files_in")

@@ -53,6 +53,28 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _with_lid(d: DataFrame, hint=None) -> DataFrame:
+    """Add a materialised ``_lid`` struct<lang,reliable> (the pipeline's
+    _step_langid idiom): tokens and per-language counts are each their own
+    column, so the argmax CASE references cheap int attributes. The one-shot
+    ``X.langid_struct_col`` inlines every count expression ~7x into the
+    argmax/greatest/sort tree (CASE disables CSE) — measured 4x slower on
+    the standalone langid query."""
+    d = d.withColumn("_sw_toks", X.tokens_lower_col(F.col("clean")))
+    counts = {
+        f"_sw_{lg}": X.stopword_count_from_tokens(F.col("_sw_toks"), lg)
+        for lg in klangid.LANG_ORDER
+    }
+    d = d.withColumns(counts).drop("_sw_toks")
+    cnt_cols = {lg: F.col(f"_sw_{lg}") for lg in klangid.LANG_ORDER}
+    if hint is not None:
+        cnt_cols = {
+            lg: cnt_cols[lg] + F.when(hint == lg, 1).otherwise(0)
+            for lg in klangid.LANG_ORDER
+        }
+    return d.withColumn("_lid", X.langid_decide_col(cnt_cols)).drop(*counts)
+
+
 # --------------------------------------------------------------------- q: clean
 
 def q_clean(spark, sf_dir):
@@ -133,10 +155,11 @@ FROM base
 # ------------------------------------------------------------------- q: langid
 
 def q_langid(spark, sf_dir):
-    d = _docs(spark, sf_dir)
-    lid = X.langid_struct_col(F.col("clean"))
+    d = _with_lid(_docs(spark, sf_dir))
     return d.select(
-        "doc_id", lid["lang"].alias("lang"), lid["reliable"].alias("lang_reliable")
+        "doc_id",
+        F.col("_lid.lang").alias("lang"),
+        F.col("_lid.reliable").alias("lang_reliable"),
     )
 
 
@@ -165,10 +188,9 @@ SQL_LANGID = _sql_langid()
 # ----------------------------------------------------------- q: lang histogram
 
 def q_lang_histogram(spark, sf_dir):
-    d = _docs(spark, sf_dir)
-    lid = X.langid_struct_col(F.col("clean"))
+    d = _with_lid(_docs(spark, sf_dir))
     return (
-        d.select(lid["lang"].alias("lang"))
+        d.select(F.col("_lid.lang").alias("lang"))
         .groupBy("lang")
         .agg(F.count("*").cast("long").alias("n_docs"))
     )
@@ -306,7 +328,7 @@ FROM base GROUP BY 1
 
 def q_word_counts(spark, sf_dir):
     d = _docs(spark, sf_dir)
-    toks = F.regexp_extract_all(F.lower(F.col("clean")), F.lit(ktok.RE_WORD), 0)
+    toks = X.tokens_lower_col(F.col("clean"))
     return (
         d.select(F.explode(toks).alias("token"))
         .groupBy("token")
@@ -318,7 +340,7 @@ def q_word_counts(spark, sf_dir):
 
 SQL_WORD_COUNTS = f"""
 WITH base AS (SELECT {CLEAN} AS clean FROM documents),
-toks AS (SELECT unnest(regexp_extract_all(lower(clean), {sql_lit(ktok.RE_WORD)})) AS token FROM base)
+toks AS (SELECT unnest({O.tokens_lower_sql('clean')}) AS token FROM base)
 SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks
 GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 20
 """
@@ -346,7 +368,7 @@ FROM base
 
 def q_sentiment(spark, sf_dir):
     d = _docs(spark, sf_dir)
-    toks = F.regexp_extract_all(F.lower(F.col("clean")), F.lit(ktok.RE_WORD), 0)
+    toks = X.tokens_lower_col(F.col("clean"))
     base = d.select("doc_id", F.explode_outer(toks).alias("token"))
     lex = F.broadcast(
         spark.createDataFrame(
@@ -377,9 +399,9 @@ SQL_SENTIMENT = f"""
 WITH base AS (SELECT doc_id, {CLEAN} AS clean FROM documents),
 toks AS (
   SELECT doc_id, unnest(
-    CASE WHEN len(regexp_extract_all(lower(clean), {sql_lit(ktok.RE_WORD)})) = 0
+    CASE WHEN len({O.tokens_lower_sql('clean')}) = 0
          THEN [NULL]
-         ELSE regexp_extract_all(lower(clean), {sql_lit(ktok.RE_WORD)}) END
+         ELSE {O.tokens_lower_sql('clean')} END
   ) AS token FROM base),
 joined AS (
   SELECT t.doc_id, t.token, lex.pol10
@@ -403,13 +425,12 @@ def q_sentiment_multilang(spark, sf_dir):
     detected language via a broadcast (lang, token) join; docs in
     unsupported languages get NULL polarity/subjectivity — the corpus
     analogue of the reference's raise (kernel.sentiment.sentiment_lang)."""
-    d = _docs(spark, sf_dir)
-    lid = X.langid_struct_col(F.col("clean"))
-    toks = F.regexp_extract_all(F.lower(F.col("clean")), F.lit(ktok.RE_WORD), 0)
+    d = _with_lid(_docs(spark, sf_dir))
+    toks = X.tokens_lower_col(F.col("clean"))
     # lang materialised in its OWN projection: a generator (explode) in the
     # same select makes Spark rebuild the langid struct as CreateStruct,
     # dropping the field aliases (observed on 4.1: 'col1','col2')
-    langed = d.select("doc_id", "clean", lid["lang"].alias("lang"))
+    langed = d.select("doc_id", "clean", F.col("_lid.lang").alias("lang"))
     base = langed.select("doc_id", "lang", F.explode_outer(toks).alias("token"))
     rows = [
         (lg, t, int(round(p * 10)))
@@ -455,9 +476,9 @@ WITH base AS (SELECT doc_id, {CLEAN} AS clean FROM documents),
 counts AS (SELECT doc_id, clean, {sw} FROM base),
 langed AS (SELECT doc_id, clean, {lang} AS lang FROM counts),
 toks AS (SELECT doc_id, lang, unnest(
-    CASE WHEN len(regexp_extract_all(lower(clean), {sql_lit(ktok.RE_WORD)})) = 0
+    CASE WHEN len({O.tokens_lower_sql('clean')}) = 0
          THEN [NULL]
-         ELSE regexp_extract_all(lower(clean), {sql_lit(ktok.RE_WORD)}) END
+         ELSE {O.tokens_lower_sql('clean')} END
   ) AS token FROM langed),
 joined AS (SELECT t.doc_id, t.lang, t.token, lex.pol10
   FROM toks t LEFT JOIN {O.sentiment_lexicon_values_multilang()}
@@ -488,7 +509,7 @@ def q_unigram_ppl(spark, sf_dir):
     .count() action — one job, one scan+tokenize of the corpus feeding both
     the frequency table and the per-doc average."""
     d = _docs(spark, sf_dir)
-    toks = F.regexp_extract_all(F.lower(F.col("clean")), F.lit(ktok.RE_WORD), 0)
+    toks = X.tokens_lower_col(F.col("clean"))
     tok_df = d.select("doc_id", F.explode(toks).alias("token"))
     freq = tok_df.groupBy("token").agg(F.count("*").alias("cnt"))
     total = freq.agg(F.sum("cnt").cast("double").alias("_total"))
@@ -503,7 +524,7 @@ def q_unigram_ppl(spark, sf_dir):
 
 SQL_UNIGRAM_PPL = f"""
 WITH base AS (SELECT doc_id, {CLEAN} AS clean FROM documents),
-toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(clean), {sql_lit(ktok.RE_WORD)})) AS token FROM base),
+toks AS (SELECT doc_id, unnest({O.tokens_lower_sql('clean')}) AS token FROM base),
 freq AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
 total AS (SELECT count(*) AS n FROM toks)
 SELECT t.doc_id,
@@ -557,7 +578,7 @@ def _shingle_tokens(d):
     projection (computed once)."""
     toked = d.select(
         "doc_id",
-        F.regexp_extract_all(F.lower(F.col("clean")), F.lit(ktok.RE_WORD), 0).alias(
+        X.tokens_lower_col(F.col("clean")).alias(
             "_toks"
         ),
     )
@@ -611,7 +632,7 @@ def q_jaccard_pairs(spark, sf_dir, df_cap: int = JACCARD_DF_CAP):
 
 SQL_JACCARD_PAIRS = f"""
 WITH base AS (SELECT doc_id, {CLEAN} AS clean FROM documents),
-toklist AS (SELECT doc_id, regexp_extract_all(lower(clean), {sql_lit(ktok.RE_WORD)}) AS t FROM base),
+toklist AS (SELECT doc_id, {O.tokens_lower_sql('clean')} AS t FROM base),
 shingled AS (
   SELECT doc_id,
          list_distinct(CASE WHEN len(t) >= 3
@@ -832,12 +853,13 @@ FROM base GROUP BY 1
 # ------------------------------------------------------------ q: quality score
 
 def q_quality_score(spark, sf_dir):
-    d = _docs(spark, sf_dir)
+    d = _with_lid(_docs(spark, sf_dir))
     c, r = F.col("clean"), F.col("raw")
     nw = X.nwords_col(c).cast("double")
     len_score = F.least(nw / F.lit(100.0), F.lit(1.0))
-    lid = X.langid_struct_col(c)
-    lang_known = F.when(lid["lang"] != klangid.UNKNOWN, 1.0).otherwise(0.0)
+    lang_known = F.when(
+        F.col("_lid.lang") != klangid.UNKNOWN, 1.0
+    ).otherwise(0.0)
     score = (
         F.lit(0.4) * len_score
         + F.lit(0.2) * (F.lit(1.0) - X.nonprintable_ratio_col(r))
@@ -1048,9 +1070,11 @@ def q_langid_hinted(spark, sf_dir):
         F.col("lang").alias("hint"),
         X.clean_col(F.coalesce(F.col("text"), F.lit(""))).alias("clean"),
     )
-    lid = X.langid_struct_col(F.col("clean"), hint=F.col("hint"))
+    d = _with_lid(d, hint=F.col("hint"))
     return d.select(
-        "doc_id", lid["lang"].alias("lang_hinted"), lid["reliable"].alias("reliable")
+        "doc_id",
+        F.col("_lid.lang").alias("lang_hinted"),
+        F.col("_lid.reliable").alias("reliable"),
     )
 
 
@@ -1146,7 +1170,7 @@ def q_word_counts_doc(spark, sf_dir):
     Counter, rendered as a sorted 'token:count' string so both engines
     compare exactly."""
     d = _docs(spark, sf_dir)
-    toks = F.regexp_extract_all(F.lower(F.col("clean")), F.lit(ktok.RE_WORD), 0)
+    toks = X.tokens_lower_col(F.col("clean"))
     pairs = d.select("doc_id", F.explode_outer(toks).alias("token")).groupBy(
         "doc_id", "token"
     ).agg(F.count("token").alias("cnt"))
@@ -1169,9 +1193,9 @@ def q_word_counts_doc(spark, sf_dir):
 SQL_WORD_COUNTS_DOC = f"""
 WITH base AS (SELECT doc_id, {CLEAN} AS clean FROM documents),
 toks AS (SELECT doc_id, unnest(
-    CASE WHEN len(regexp_extract_all(lower(clean), {sql_lit(ktok.RE_WORD)})) = 0
+    CASE WHEN len({O.tokens_lower_sql('clean')}) = 0
          THEN [NULL]
-         ELSE regexp_extract_all(lower(clean), {sql_lit(ktok.RE_WORD)}) END
+         ELSE {O.tokens_lower_sql('clean')} END
   ) AS token FROM base),
 pairs AS (SELECT doc_id, token, count(token) AS cnt FROM toks GROUP BY 1, 2)
 SELECT doc_id,
