@@ -126,8 +126,9 @@ def main() -> None:
 
     job()  # warm: JIT + codegen
     corpus_wall = 1e9
-    for _ in range(3):  # best-of-3: the headline number rides through the
-        # host's intermittent CPU-steal windows (BENCH/BASELINE.md history)
+    for _ in range(5):  # best-of-5: the headline number rides through the
+        # host's intermittent CPU-steal windows (BENCH/BASELINE.md history;
+        # observed multi-run windows that swallow a best-of-3 whole)
         t0 = time.monotonic()
         job()
         corpus_wall = min(corpus_wall, time.monotonic() - t0)

@@ -1,0 +1,86 @@
+"""Out-of-process vector store (RedisKeyedVectors analogue,
+reference wrappers.py:20-125): mmap'd .npy via SparkFiles, per-worker
+singleton + LRU — the "model too big to broadcast" seam."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from textpipe_spark import udfs
+from textpipe_spark.kernel import vector_store as vs
+
+
+def _make_table(n=64, dim=8, seed=7):
+    rng = np.random.RandomState(seed)
+    vocab = [f"tok{i}" for i in range(n)]
+    mat = rng.standard_normal((n, dim)).astype(np.float32)
+    return vocab, mat
+
+
+def test_store_keyedvectors_surface(tmp_path):
+    vocab, mat = _make_table()
+    vp, mp = vs.save_store(str(tmp_path), "emb", vocab, mat)
+    store = vs.MmapVectorStore(vp, mp)
+    # the matrix is a FILE MAPPING, not a heap copy — the whole point
+    assert isinstance(store.matrix, np.memmap)
+    assert len(store) == 64 and store.dim == 8
+    assert "tok3" in store and "nope" not in store
+    np.testing.assert_allclose(store["tok3"], mat[3], rtol=1e-6)
+    assert store.get("nope") is None
+    with pytest.raises(KeyError):  # gensim KeyError parity on OOV
+        store["nope"]
+    # LRU: second lookup of the same token is a cache hit
+    before = store.cache_info().hits
+    np.testing.assert_allclose(store["tok3"], mat[3], rtol=1e-6)
+    assert store.cache_info().hits == before + 1
+
+
+def test_store_missing_artifacts_raise(tmp_path, monkeypatch):
+    # the analogue of the reference's raise on unreachable Redis
+    monkeypatch.delenv("TEXTPIPE_MODEL_DIR", raising=False)
+    vs._STORES.clear()
+    with pytest.raises(FileNotFoundError):
+        vs.get_store("never_shipped_store")
+
+
+def test_doc_vectors_via_sparkfiles_no_broadcast(spark, tmp_path, monkeypatch):
+    """The UDF is built BEFORE the artifacts exist — proving the table is
+    resolved lazily on workers (SparkFiles), never captured in the closure
+    or broadcast. Results must equal driver-side lookups on the same
+    table."""
+    monkeypatch.delenv("TEXTPIPE_MODEL_DIR", raising=False)
+    vs._STORES.clear()
+    # 1) UDF first: a closure-captured/broadcast table would need the
+    #    files NOW and fail
+    udf = udfs.make_store_doc_vector_udf("emb_sf", aggregation="mean")
+    # 2) now create + ship the artifacts (the --files channel)
+    vocab, mat = _make_table(n=32, dim=4, seed=11)
+    vp, mp = vs.save_store(str(tmp_path), "emb_sf", vocab, mat)
+    spark.sparkContext.addFile(vp)
+    spark.sparkContext.addFile(mp)
+
+    df = spark.createDataFrame(
+        [(1, "tok0 tok1 junk"), (2, "tok5"), (3, "junk only"), (4, "")],
+        "doc_id long, clean string",
+    )
+    got = {
+        r["doc_id"]: r["v"]
+        for r in df.select("doc_id", udf(F.col("clean")).alias("v")).collect()
+    }
+    exp1 = np.vstack([mat[0], mat[1]]).mean(axis=0)
+    assert got[1] == pytest.approx([round(float(x), 6) for x in exp1])
+    assert got[2] == pytest.approx([round(float(x), 6) for x in mat[5]])
+    assert got[3] == [] and got[4] == []
+
+
+def test_store_via_model_dir_and_sum(tmp_path, monkeypatch):
+    """$TEXTPIPE_MODEL_DIR resolution (dev override) + sum aggregation of
+    the kernel-side store surface."""
+    vocab, mat = _make_table(n=16, dim=4, seed=3)
+    vs.save_store(str(tmp_path), "emb_dir", vocab, mat)
+    monkeypatch.setenv("TEXTPIPE_MODEL_DIR", str(tmp_path))
+    vs._STORES.clear()
+    store = vs.get_store("emb_dir")
+    assert vs.get_store("emb_dir") is store  # per-process singleton
+    s = store["tok1"] + store["tok2"]
+    np.testing.assert_allclose(s, mat[1] + mat[2], rtol=1e-6)

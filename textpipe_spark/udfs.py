@@ -229,6 +229,42 @@ def emojis_rendered_udf(text: pd.Series) -> pd.Series:
     return pd.Series([kemoji.emojis_rendered(t or "") for t in text])
 
 
+def make_store_doc_vector_udf(store_name: str, aggregation: str = "mean"):
+    """Document vectors backed by an OUT-OF-PROCESS vector store (the
+    RedisKeyedVectors path, reference wrappers.py:20-125): the embedding
+    table is an mmap'd .npy shipped via --files, resolved and mapped ONCE
+    per worker inside the UDF (kernel.vector_store.get_store), never
+    broadcast and never in the UDF closure — the Spark seam for "model too
+    big to broadcast". OOV tokens are skipped (doc.py:678-679); no
+    in-vocab token -> []."""
+    if aggregation not in ("mean", "sum"):
+        raise NotImplementedError(f"aggregation {aggregation!r}")
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _store_doc_vector_udf(clean: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from .kernel.vector_store import get_store
+
+        store = get_store(store_name)  # per-worker mmap singleton
+        out = []
+        for text in clean:
+            rows = [
+                store[t]
+                for t in (w.lower() for w in ktok._WORD.findall(text or ""))
+                if t in store
+            ]
+            if not rows:
+                out.append([])
+                continue
+            mat = np.vstack(rows)
+            agg = mat.mean(axis=0) if aggregation == "mean" else mat.sum(axis=0)
+            out.append([round(float(x), 6) for x in agg])
+        return pd.Series(out)
+
+    return _store_doc_vector_udf
+
+
 def lsh_bands_col(minhash_col, bands: int = 16):
     """Native band hashes from a minhash signature column: slice + hash —
     no second UDF pass over the text."""

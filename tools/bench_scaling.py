@@ -1,12 +1,15 @@
 """Scaling-efficiency evidence for the north_rule's N vs 4N criterion.
 
 No real cluster exists in this sandbox, so per the driver instruction the
-same flagship job runs at two parallelism levels — local[N] and local[4N],
-default N=4 ($SPARK_GRAFT_SCALE_N) — on the same generated corpus, in
-SEPARATE JVMs (one subprocess per level so executor-thread counts are
-honest). Reports
-files/sec at both plus efficiency = (rate_4N / rate_N) / 4, and writes
-BENCH/BASELINE.md.
+same flagship job runs at two parallelism levels — local[N] and local[4N] —
+on the same generated corpus, in SEPARATE JVMs (one subprocess per level so
+executor-thread counts are honest). Two level pairs are measured and
+recorded side by side (VERDICT r2 #6: pin the methodology so a level change
+can't read as cherry-picking): N=2 (2/8) and N=4 (4/16). Every timed wall
+carries the /proc/stat CPU-steal delta observed during that run, so a
+noisy-window number is visibly noisy. Reports files/sec at both levels of
+each pair plus efficiency = (rate_4N / rate_N) / 4, and rewrites the
+scaling section of BENCH/BASELINE.md (trailing sections are preserved).
 
 Usage: python tools/bench_scaling.py [n_files] [repeats]
 """
@@ -23,6 +26,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CHILD = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
+def steal():
+    return int(open("/proc/stat").readline().split()[8])
 from textpipe_spark.io import spark_session
 from textpipe_spark.pipeline import PipelineConfig, build
 spark = spark_session(app="bench_scaling", cores={cores})
@@ -39,12 +44,13 @@ def job():
         "scrubbed","scrubbed_sha256")
     labeled.write.format("noop").mode("overwrite").save()
 job()  # warm-up: JVM JIT + codegen excluded from the measurement
-walls = []
+walls, steals = [], []
 for _ in range({repeats}):
-    t0 = time.monotonic()
+    s0 = steal(); t0 = time.monotonic()
     job()
     walls.append(time.monotonic() - t0)
-print("RESULT " + json.dumps({{"cores": {cores}, "walls": walls}}))
+    steals.append(steal() - s0)
+print("RESULT " + json.dumps({{"cores": {cores}, "walls": walls, "steals": steals}}))
 spark.stop()
 """
 
@@ -60,6 +66,16 @@ def run_level(cores: int, corpus: str, repeats: int) -> dict:
     raise RuntimeError(f"no result at cores={cores}:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 
 
+# Both recorded pairs: N=2 (2 vs 8) and N=4 (4 vs 16). Override with
+# SPARK_GRAFT_SCALE_N=<n> to measure a single pair.
+def level_pairs() -> list[tuple[int, int]]:
+    env = os.environ.get("SPARK_GRAFT_SCALE_N")
+    if env:
+        n = int(env)
+        return [(n, n * 4)]
+    return [(2, 8), (4, 16)]
+
+
 def main() -> None:
     n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 40000
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 3
@@ -71,30 +87,54 @@ def main() -> None:
     n_rows = bench.ensure_corpus()
     corpus = bench.CORPUS_DIR
 
-    n_level = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
-    levels = (n_level, n_level * 4)
+    pairs = level_pairs()
+    cores_set = sorted({c for p in pairs for c in p})
     # interleave the levels across trials: this host has intermittent CPU
     # steal, and a sequential per-level block would bias whichever level
     # runs during a noisy window; best-of over interleaved trials samples
-    # both levels under the same conditions
-    walls: dict[int, list[float]] = {c: [] for c in levels}
+    # every level under the same conditions
+    walls: dict[int, list[float]] = {c: [] for c in cores_set}
+    steals: dict[int, list[int]] = {c: [] for c in cores_set}
     for _ in range(repeats):
-        for cores in levels:
+        for cores in cores_set:
             r = run_level(cores, corpus, 1)
             walls[cores].extend(r["walls"])
+            steals[cores].extend(r["steals"])
+
     results = {}
-    for cores in levels:
-        best = min(walls[cores])
+    for cores in cores_set:
+        best_i = min(range(len(walls[cores])), key=lambda i: walls[cores][i])
+        best = walls[cores][best_i]
         results[cores] = {
             "walls": [round(w, 2) for w in walls[cores]],
+            "steal_jiffies": steals[cores],
             "best_wall_s": round(best, 2),
+            "best_steal_jiffies": steals[cores][best_i],
             "files_per_sec": round(n_rows / best, 1),
         }
-        print(f"local[{cores}]: best {best:.2f}s = {n_rows/best:.0f} files/s  (all: {walls[cores]})")
+        print(
+            f"local[{cores}]: best {best:.2f}s = {n_rows/best:.0f} files/s  "
+            f"(walls: {results[cores]['walls']}, steal: {steals[cores]})"
+        )
 
-    n, n4 = levels
-    eff = (results[n4]["files_per_sec"] / results[n]["files_per_sec"]) / 4.0
-    print(f"scaling efficiency (N={n} vs 4N={n4}): {eff:.2f}")
+    pair_rows = []
+    for n, n4 in pairs:
+        eff = (results[n4]["files_per_sec"] / results[n]["files_per_sec"]) / 4.0
+        pair_rows.append({"levels": [n, n4], "efficiency": round(eff, 3)})
+        print(f"scaling efficiency (N={n} vs 4N={n4}): {eff:.2f}")
+
+    table = "| parallelism | best wall (s) | files/sec | steal during best run (jiffies) |\n| --- | --- | --- | --- |\n"
+    for cores in cores_set:
+        r = results[cores]
+        table += (
+            f"| local[{cores}] | {r['best_wall_s']} | {r['files_per_sec']} "
+            f"| {r['best_steal_jiffies']} |\n"
+        )
+    eff_lines = "\n".join(
+        f"**Scaling efficiency (rate_4N / rate_N) / 4 at N={p['levels'][0]}"
+        f" (local[{p['levels'][0]}] vs local[{p['levels'][1]}]):"
+        f" {p['efficiency']:.2f}**" for p in pair_rows
+    )
 
     md = f"""# BENCH — measured baseline (this host: 32 cores, 125 GB)
 
@@ -102,37 +142,55 @@ Flagship keep/drop + scrub pipeline (full labeled manifest: clean -> langid
 -> token stats -> scrub -> keep/drop + sha256) over the deterministic
 synthetic code_files corpus ({n_rows} files, seed=42, 16 partitions,
 256-row parquet row groups), best of {repeats} timed runs after a warm-up
-pass, separate JVM per parallelism level.
+pass, separate JVM per parallelism level, levels interleaved across trials.
+Each wall carries the /proc/stat CPU-steal delta measured during that run
+(100 jiffies = 1 stolen CPU-second); a best-run steal near zero certifies
+a quiet window.
 
-| parallelism | best wall (s) | files/sec |
-| --- | --- | --- |
-| local[{n}]  (N)  | {results[n]['best_wall_s']} | {results[n]['files_per_sec']} |
-| local[{n4}] (4N) | {results[n4]['best_wall_s']} | {results[n4]['files_per_sec']} |
+{table}
+{eff_lines}
 
-**Scaling efficiency (rate_4N / rate_N) / 4 = {eff:.2f}** (gate: >= 0.8 per
-BASELINE.json; sandbox proxy for N vs 4N executor clusters per the driver
-instruction — no real cluster available here).
+(gate: >= 0.8 per BASELINE.json; sandbox proxy for N vs 4N executor
+clusters per the driver instruction — no real cluster available here.)
 
-Levels are {n} vs {n4} of the host's 32 cores so the measured ratio
+Both level pairs stay inside the host's 32 cores so the measured ratio
 reflects the JOB's scalability rather than host saturation: the pipeline
 is embarrassingly parallel (no shuffle), but saturating every host core
 with JVM mutator threads makes GC/memory contention the limiter
 (8 -> 32 cores measured ~0.6-0.7 on this box) — on a real multi-host
-cluster each executor owns a slice of a host, which the {n}/{n4}
-configuration models. All runs: local[{n}] {results[n]['walls']},
-local[{n4}] {results[n4]['walls']}.
+cluster each executor owns a slice of a host, which the within-host
+levels model. All walls (s) and steal deltas per level:
+{json.dumps({f"local[{c}]": {"walls": results[c]["walls"], "steal": steals[c]} for c in cores_set}, indent=2)}
 
 Correctness context: Spark output is row-for-row sha256-identical to the
 pure-Python kernel labels (tests/test_spark_parity.py), i.e. F1 = 1.0 vs
-reference labels, and 31 driver queries are value-hash-verified against a
+reference labels, and 46 driver queries are value-hash-verified against a
 DuckDB oracle (tools/verify_oracle.py).
 """
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    # preserve the manually-curated trailing sections (backfill, LSH,
+    # measurement history) if the file already exists
+    tail = ""
+    if os.path.exists(out_path):
+        old = open(out_path).read()
+        idx = old.find("\n## ")
+        if idx != -1:
+            tail = old[idx:]
     with open(out_path, "w") as fh:
-        fh.write(md)
+        fh.write(md + tail)
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as fh:
-        json.dump({"n_files": n_rows, "levels": list(levels), "results": results, "efficiency": round(eff, 3)}, fh, indent=2)
+        json.dump(
+            {
+                "n_files": n_rows,
+                "levels": cores_set,
+                "results": results,
+                "pairs": pair_rows,
+                "efficiency": pair_rows[0]["efficiency"],
+            },
+            fh,
+            indent=2,
+        )
     print(f"wrote {out_path}")
 
 
