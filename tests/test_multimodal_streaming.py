@@ -23,6 +23,46 @@ def test_multimodal_features(spark, documents):
         assert again[r["media_id"]] == r["feature"]
 
 
+def test_multimodal_resize(spark, documents):
+    import hashlib
+
+    media = multimodal.media_from_documents(documents.limit(20))
+    resized = multimodal.resize_media(media, 64, 64)
+    rows = {r["media_id"]: r for r in resized.collect()}
+    src = {r["media_id"]: r for r in media.collect()}
+    assert len(rows) == 20
+    for mid, r in rows.items():
+        assert r["meta"]["width"] == 64 and r["meta"]["height"] == 64
+        assert r["meta"]["mime"] == src[mid]["meta"]["mime"]  # meta preserved
+        exp = hashlib.sha256(
+            bytes(src[mid]["payload"] or b"") + b"|64x64"
+        ).digest()
+        assert bytes(r["payload"]) == exp  # stub thumbnail, deterministic
+
+
+def test_multimodal_frame_sampling(spark, documents):
+    import hashlib
+
+    video = multimodal.video_from_documents(documents.limit(20))
+    frames = multimodal.sample_frames(video, every_ms=1000)
+    # fan-out must be native (sequence+explode), not Python
+    plan = frames._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" in plan or "Generate" in plan
+    got = {}
+    for r in frames.collect():
+        got.setdefault(r["media_id"], []).append((r["ts_ms"], r["frame_sha256"]))
+    src = {r["media_id"]: r for r in video.collect()}
+    assert set(got) == set(src)
+    for mid, fs in got.items():
+        dur = src[mid]["meta"]["duration_ms"]
+        assert sorted(t for t, _ in fs) == list(range(0, dur, 1000))
+        for ts, h in fs:
+            exp = hashlib.sha256(
+                bytes(src[mid]["payload"] or b"") + f"@{ts}".encode()
+            ).hexdigest()
+            assert h == exp
+
+
 def test_stateful_dedup_stream(spark, tmp_path_factory):
     """Cross-batch dedup: duplicates arriving in LATER micro-batches are
     dropped by the applyInPandasWithState state store."""

@@ -19,6 +19,18 @@ RE_BPE = "[A-Za-zÀ-ÖØ-öø-ÿ]+|[0-9]+|[^A-Za-z0-9À-ÖØ-öø-ÿ \t\n\r\f\v]
 
 # Sentence boundary: one or more of .!? (reference: spaCy sents,
 # doc.py:282-309; ours is the rule-based equivalent).
+#
+# Known, DELIBERATE gap vs spaCy: abbreviations split ("Dr. Smith" is two
+# segments). Closing it needs either (a) a lookbehind excluding known
+# abbreviations — RE2 (the DuckDB oracle dialect) has NO lookaround, so
+# the pattern cannot stay tri-dialect, or (b) a post-pass rejoining
+# segments whose tail token is a known abbreviation — expressible in all
+# three engines but it breaks the separator/match duality that derives
+# sentence OFFSETS in pure SQL (queries.SQL_SENTENCES) and silently
+# changes every downstream consumer (nsents, complexity, lead_sentences,
+# summary, keyterms). Kernel-is-spec: the simple rule is applied
+# identically everywhere, which the quality-filter use case needs more
+# than linguistic fidelity.
 RE_SENT_SPLIT = "[.!?]+"
 
 # Syllable proxy: vowel groups (Flesch inputs, reference doc.py:356-372 uses

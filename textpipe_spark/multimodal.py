@@ -81,6 +81,92 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, FEATURE_SCHEMA)
 
 
+THUMB_BYTES = 32  # stub thumbnail payload size (one sha256 digest)
+
+
+def _resize_stub(payload: bytes, width: int, height: int) -> bytes:
+    """STUB resize (no PIL in container): deterministic 32-byte
+    'thumbnail' = sha256(payload || '|WxH'). A real implementation is
+    PIL.Image.open(BytesIO(payload)).resize((w, h)).tobytes() — swapping
+    it in touches nothing outside this function."""
+    return hashlib.sha256(
+        (payload or b"") + f"|{width}x{height}".encode()
+    ).digest()
+
+
+def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize every payload to (width, height) — Arrow-batched
+    ``mapInPandas`` over MEDIA_SCHEMA rows, emitting MEDIA_SCHEMA rows with
+    the resized payload and updated meta. Map-only (no shuffle): at 100 TB
+    this is pure scan -> Python batch -> sink, elastic in executor count;
+    batch size is bounded by spark.sql.execution.arrow.maxRecordsPerBatch
+    so worker memory holds one batch of thumbnails, never a partition."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["payload"] = [
+                _resize_stub(p, width, height) for p in pdf["payload"]
+            ]
+            out["meta"] = [
+                {**(m or {}), "width": width, "height": height}
+                for m in pdf["meta"]
+            ]
+            yield out
+
+    return df.mapInPandas(run, MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("frame_sha256", T.StringType()),
+    ]
+)
+
+
+def _frame_stub(payload: bytes, ts_ms: int) -> str:
+    """STUB frame decode (no ffmpeg in container): the frame at t is
+    identified by sha256(payload || '@' || ts). A real implementation
+    seeks the container to ts_ms and decodes one frame."""
+    return hashlib.sha256(
+        (payload or b"") + f"@{ts_ms}".encode()
+    ).hexdigest()
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame sampling for video rows: timestamps 0, every_ms, ... <
+    duration_ms. The FAN-OUT is native (sequence + explode — Catalyst
+    handles it, no Python in the row-multiplication), only the per-frame
+    decode crosses into an Arrow pandas UDF; so a 2-hour video explodes
+    JVM-side and the Python boundary sees exactly one row per sampled
+    frame."""
+
+    @F.pandas_udf(T.StringType())
+    def frame_udf(payload: pd.Series, ts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_frame_stub(p, int(t)) for p, t in zip(payload, ts)]
+        )
+
+    frames = df.where(
+        (F.col("kind") == "video") & (F.col("meta.duration_ms") > 0)
+    ).select(
+        "media_id",
+        "payload",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                (F.col("meta.duration_ms") - 1).cast("long"),
+                F.lit(int(every_ms)).cast("long"),
+            )
+        ).alias("ts_ms"),
+    )
+    return frames.select(
+        "media_id", "ts_ms", frame_udf("payload", "ts_ms").alias("frame_sha256")
+    )
+
+
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Adapter for tests: wrap documents.text as fake binary media rows
     (utf-8 payloads) with the production schema."""
@@ -93,5 +179,22 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
             F.lit(0).alias("width"),
             F.lit(0).alias("height"),
             F.lit(0).alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def video_from_documents(docs: DataFrame) -> DataFrame:
+    """Adapter for tests: documents as fake video rows with a
+    DETERMINISTIC duration (doc_id % 4 + 1 seconds) so the frame-sample
+    fan-out is oracle-reproducible in SQL."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("payload"),
+        F.struct(
+            F.lit("video/mp4").alias("mime"),
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+            ((F.col("doc_id") % 4 + 1) * 1000).cast("int").alias("duration_ms"),
         ).alias("meta"),
     )

@@ -1577,6 +1577,68 @@ FROM m, hexmap
 SQL_MULTIMODAL_FEATURES = _sql_multimodal_features()
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Resize plumbing driver-visible (multimodal.resize_media): the
+    Arrow-batched mapInPandas pass rewrites every payload to a
+    deterministic stub thumbnail = sha256(payload || '|64x64') and updates
+    meta, so the whole path — schema round-trip through MEDIA_SCHEMA,
+    batch iteration, meta rebuild — is oracle-checkable: the thumbnail's
+    hex IS that sha256 hex in SQL."""
+    from .multimodal import media_from_documents, resize_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    resized = resize_media(media_from_documents(docs), 64, 64)
+    return resized.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        F.col("meta.width").cast("long").alias("width"),
+        F.col("meta.height").cast("long").alias("height"),
+        F.length(F.col("payload")).cast("long").alias("thumb_bytes"),
+        F.lower(F.hex(F.col("payload"))).alias("thumb_hex"),
+    )
+
+
+SQL_MULTIMODAL_RESIZE = f"""
+SELECT doc_id AS media_id,
+       CAST(64 AS BIGINT) AS width,
+       CAST(64 AS BIGINT) AS height,
+       CAST(32 AS BIGINT) AS thumb_bytes,
+       sha256({RAW} || '|64x64') AS thumb_hex
+FROM documents
+"""
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """Frame-sample plumbing driver-visible (multimodal.sample_frames):
+    native sequence+explode fan-out (one JVM row per sampled frame — the
+    Python boundary never sees the multiplication), per-frame decode stub
+    = sha256(payload || '@' || ts). Durations come from the deterministic
+    video adapter (doc_id % 4 + 1 s), so the fan-out AND the stub hashes
+    re-derive exactly in SQL."""
+    from .multimodal import sample_frames, video_from_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    frames = sample_frames(video_from_documents(docs), every_ms=1000)
+    return frames.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        F.col("ts_ms").cast("long").alias("ts_ms"),
+        "frame_sha256",
+    )
+
+
+SQL_MULTIMODAL_FRAMES = f"""
+WITH v AS (SELECT doc_id AS media_id, {RAW} AS payload,
+                  (doc_id % 4 + 1) * 1000 AS duration_ms
+           FROM documents),
+fr AS (SELECT media_id, payload,
+              unnest(range(0, duration_ms, 1000)) AS ts_ms
+       FROM v)
+SELECT media_id,
+       CAST(ts_ms AS BIGINT) AS ts_ms,
+       sha256(payload || '@' || CAST(ts_ms AS VARCHAR)) AS frame_sha256
+FROM fr
+"""
+
+
 def q_flagship_model(spark, sf_dir):
     """The flagship pipeline WITH the model tiers the north_star names:
     batched char-n-gram language-ID inference and bigram-LM perplexity as
@@ -1967,6 +2029,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "summary": q_summary,
     "doc_vector": q_doc_vector,
     "doc_embedding": q_doc_embedding,
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_frames": q_multimodal_frames,
     "words": q_words,
     "sentences": q_sentences,
     "emojis_annotated": q_emojis_annotated,
@@ -2013,6 +2077,8 @@ ORACLES: dict[str, str] = {
     "flagship": SQL_FLAGSHIP,
     "emojis_annotated": SQL_EMOJIS_ANNOTATED,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "multimodal_resize": SQL_MULTIMODAL_RESIZE,
+    "multimodal_frames": SQL_MULTIMODAL_FRAMES,
     "words": SQL_WORDS,
     "sentences": SQL_SENTENCES,
     **{name: _PARITY_ORACLE for name in PARITY_QUERIES},
