@@ -234,20 +234,55 @@ def scrub_chain(
     return df, hit_names, prev
 
 
+def scrub_text_chain(
+    df: DataFrame, text_col: str = "clean", prefix: str = "_"
+) -> tuple[DataFrame, str]:
+    """Replace-only scrub chain (no per-step hit counting): the gated
+    regexp passes of ``scrub_chain`` without any occurrence scans. Each
+    trigger gate is referenced exactly once here, so it inlines without
+    re-evaluation. Returns (df, scrubbed_text_col)."""
+    from .kernel import scrub as kscrub
+
+    prev = text_col
+    for i, step in enumerate(kscrub.SCRUB_STEPS):
+        pat = kscrub.full_pattern(step)
+        cur = f"{prefix}scrub_t{i}"
+        replaced = F.regexp_replace(F.col(prev), pat, step.token)
+        gate = X.scrub_trigger_col(F.col(prev), step)
+        if gate is not None:
+            replaced = F.when(gate, replaced).otherwise(F.col(prev))
+        df = df.withColumn(cur, replaced)
+        if prev != text_col:
+            df = df.drop(prev)
+        prev = cur
+    return df, prev
+
+
 def _step_scrub(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    df, hit_names, final = scrub_chain(df, "clean")
+    # The pipeline needs only TOTAL hits (decide + labeled manifest), and
+    # the per-step diffs telescope: no step can destroy an existing token
+    # occurrence or splice one across an insertion boundary
+    # (X.token_occurrences_col docstring — the argument chains across
+    # steps), so Σ per-step hits == Σ over DISTINCT tokens of
+    # occ(final) - occ(clean). 2 scans per distinct token (4 tokens = 8
+    # byte scans total) instead of 2 per step state (16) plus gating
+    # machinery; equality with the kernel's summed subn counts is pinned
+    # by tests/test_spark_parity.py. The scrub QUERY still uses
+    # scrub_chain for oracle-checked per-step counts.
+    from .kernel import scrub as kscrub
+
+    df, final = scrub_text_chain(df, "clean")
     total = None
-    for h in hit_names:
-        total = F.col(h) if total is None else total + F.col(h)
+    for tok in sorted({s.token for s in kscrub.SCRUB_STEPS}):
+        d = X.token_occurrences_col(F.col(final), tok) - X.token_occurrences_col(
+            F.col("clean"), tok
+        )
+        total = d if total is None else total + d
     df = df.withColumn(
         "_scrub",
-        F.struct(
-            F.col(final).alias("text"),
-            *[F.col(h).alias(h[1:]) for h in hit_names],
-            total.alias("total_hits"),
-        ),
+        F.struct(F.col(final).alias("text"), total.alias("total_hits")),
     )
-    return df.drop(final, *hit_names)
+    return df.drop(final)
 
 
 def _step_minhash(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
