@@ -186,6 +186,27 @@ def test_near_dup_dedup_stream(spark, tmp_path_factory):
     assert sigs.count() == n_kept
     assert index.count() == n_kept * 16  # 16 bands per doc
 
+    # --- compaction: collapse epoch partitions into _epoch=-1, then prove
+    # cross-batch dedup still works against the compacted index ---
+    tps_streaming.compact_near_dup_index(spark, idx)
+    assert [d for d in os.listdir(idx) if d.startswith("_epoch=")] == ["_epoch=-1"]
+    assert spark.read.parquet(idx).count() == n_kept * 16
+    assert spark.read.parquet(idx + "_sigs").count() == n_kept
+    rows3 = [("r", "c0", "c", "en", base + " other tiny suffix"),  # near-dup of a0
+             ("r", "c1", "c", "en", "yet another genuinely fresh doc about "
+              + "catalyst optimizer rules and codegen stages " * 3)]
+    spark.createDataFrame(rows3, schema).coalesce(1).write.parquet(src + "/b3")
+    f = [p for p in os.listdir(f"{src}/b3") if p.endswith(".parquet")][0]
+    os.rename(f"{src}/b3/{f}", f"{flat}/part-2.parquet")
+    stream = tps_streaming.stream_code_files(spark, flat, max_files_per_trigger=1)
+    q = tps_streaming.near_dup_dedup_stream(
+        stream, out_dir=out, index_dir=idx, checkpoint_dir=ckpt, threshold=0.8
+    )
+    q.awaitTermination(180)
+    got3 = {r["path"] for r in spark.read.parquet(out).collect()}
+    assert "c1" in got3                      # fresh doc survives
+    assert "c0" not in got3                  # near-dup caught by COMPACTED index
+
 
 def test_near_dup_stream_verifies_all_candidates(spark, tmp_path_factory):
     """ADVICE r2 (high): a doc that band-collides with SEVERAL indexed docs

@@ -145,11 +145,11 @@ def near_dup_dedup_stream(
       exactly its own epoch partitions — idempotent retries, not blind
       appends;
     * compaction: epoch partitioning fragments the index over time —
-      periodically rewrite index+sigs collapsing old epochs into the
-      reserved ``_epoch=-1`` compaction partition (a pure repartition-and-
-      write maintenance job; -1 is always < any live epoch so it stays
-      visible to the ``_epoch < current`` read below); the join shape is
-      unchanged.
+      ``compact_near_dup_index`` (below) rewrites index+sigs collapsing
+      old epochs into the reserved ``_epoch=-1`` compaction partition
+      (-1 is always < any live epoch so it stays visible to the
+      ``_epoch < current`` read below); the join shape is unchanged, and
+      the post-compaction cross-batch drop is pinned by test.
 
     Precision is exact: every (incoming, indexed) candidate pair is
     verified with the signature-similarity estimate BEFORE any
@@ -277,6 +277,48 @@ def near_dup_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_near_dup_index(spark, index_dir: str, sigs_dir: str | None = None):
+    """Index maintenance for ``near_dup_dedup_stream`` (the compaction the
+    epoch-partitioned layout calls for): rewrite all completed epochs into
+    the reserved ``_epoch=-1`` partition, then drop the per-epoch
+    directories. -1 is always < any live epoch, so the stream's
+    ``_epoch < current`` read keeps seeing every compacted row; the band
+    index stays partitioned by band_idx (partition-pruned equi-join).
+    Run between stream restarts (availableNow batches) or from a
+    maintenance cron — NOT concurrently with an active micro-batch (the
+    rewrite moves files a running read plan may reference).
+
+    At scale this is the standard small-files compaction: N epochs × B
+    band dirs of tiny parquet collapse into one file set per band_idx;
+    cost is one shuffle-free rewrite of the index (16 rows × ~24 B per
+    surviving doc)."""
+    import shutil
+    import os
+
+    sigs_dir = sigs_dir or index_dir.rstrip("/") + "_sigs"
+    for path, part_cols in ((index_dir, ["band_idx"]), (sigs_dir, [])):
+        df = spark.read.parquet(path)
+        epochs = [
+            r["_epoch"] for r in df.select("_epoch").distinct().collect()
+            if r["_epoch"] != -1
+        ]
+        if not epochs:
+            continue
+        out = path.rstrip("/") + "__compact_out"
+        (
+            df.withColumn("_epoch", F.lit(-1))
+            .write.mode("overwrite")
+            .partitionBy(*(["_epoch"] + part_cols))
+            .parquet(out)
+        )
+        # swap: drop old epoch dirs, move the compacted partition in
+        for d in os.listdir(path):
+            if d.startswith("_epoch="):
+                shutil.rmtree(os.path.join(path, d))
+        shutil.move(os.path.join(out, "_epoch=-1"), os.path.join(path, "_epoch=-1"))
+        shutil.rmtree(out)
 
 
 def write_filtered(
