@@ -123,3 +123,34 @@ def test_parity_queries_zero_and_not_vacuous(spark):
         lambda: {"sh": udfs.simhash_udf(F.col("clean"))},
     )
     assert bad(spark, sf).agg(F.sum("n_mismatches")).first()[0] > 0
+
+
+def test_pair_parity_queries_zero_and_not_vacuous(spark):
+    """The pair-set parity tier (LSH pairs / SimHash pairs / ANN LSH):
+    zero mismatches on the driver data, and a mutated comparison must
+    light up (prove the full-outer harness isn't vacuous)."""
+    from pyspark.sql import functions as F
+
+    from textpipe_spark.queries import (
+        PAIR_PARITY_QUERIES,
+        _pairs_mismatch,
+        q_simhash_pairs_parity,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for name, q in PAIR_PARITY_QUERIES.items():
+        n = q(spark, sf).first()["n_mismatches"]
+        assert n == 0, f"{name}: {n} pair mismatches"
+
+    # mutation: golden with one pair value shifted must be detected
+    from textpipe_spark.dedup import simhash_near_dup_pairs
+    from textpipe_spark.queries import _docs
+
+    d = _docs(spark, sf).select("doc_id", "clean")
+    pairs = simhash_near_dup_pairs(
+        d, text_col="clean", id_col="doc_id", max_hamming=3
+    ).select("id1", "id2", F.col("hamming").cast("long").alias("hamming"))
+    mutated = pairs.select(
+        "id1", "id2", (F.col("hamming") + 1).alias("g_hamming")
+    )
+    assert _pairs_mismatch(pairs, mutated, "hamming").first()["n_mismatches"] > 0

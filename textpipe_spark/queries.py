@@ -1964,6 +1964,209 @@ def q_flagship_model_parity(spark, sf_dir):
     return j.select("doc_id", mism.cast("long").alias("n_mismatches"))
 
 
+def _round_half_up(x: float, nd: int = 4) -> float:
+    """Spark's round(double, n): BigDecimal.valueOf(x) (shortest repr,
+    same as Python str()) setScale(n, HALF_UP). Python round() is
+    banker's and DIVERGES on exact half-way values (est = k/128 hits
+    x.xxxx5 whenever k ≡ 4 mod 8), so goldens must use this."""
+    import decimal
+
+    return float(
+        decimal.Decimal(str(x)).quantize(
+            decimal.Decimal(f"1e-{nd}"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _pairs_mismatch(spark_pairs, golden_pairs, val: str):
+    """ONE-row n_mismatches over a full-outer join of (id1, id2) pair sets
+    — a missing pair on either side or a value disagreement counts 1."""
+    j = spark_pairs.join(golden_pairs, ["id1", "id2"], "full_outer")
+    bad = F.when(F.col(val).eqNullSafe(F.col(f"g_{val}")), 0).otherwise(1)
+    return j.agg(F.coalesce(F.sum(bad), F.lit(0)).cast("long").alias("n_mismatches"))
+
+
+_PAIRS_PARITY_ORACLE = "SELECT CAST(0 AS BIGINT) AS n_mismatches"
+
+
+def q_lsh_pairs_parity(spark, sf_dir):
+    """Driver-visible parity for the LSH pair-mining tier: the kernel
+    golden reproduces the full pair set from EXACT band-slice equality —
+    two docs band-collide iff a band's signature slice is identical, so
+    F.hash of equal slices is equal and the murmur band hash never needs
+    reproducing (a cross-slice hash collision admitting an extra verified
+    pair has p ~ 2^-32 per pair and would surface here as a mismatch).
+    The golden runs single-partition (coalesce(1) mapInPandas) — valid at
+    driver-check scale only; the distributed tier is the product."""
+    from .dedup import minhash_lsh_pairs
+
+    d = _docs(spark, sf_dir).select("doc_id", "clean")
+    spark_pairs = minhash_lsh_pairs(
+        d, text_col="clean", id_col="doc_id", threshold=0.8
+    ).select("id1", "id2", "jaccard_est")
+
+    def gen(it):
+        import pandas as pd
+
+        from .kernel import clean as kclean
+        from .kernel import minhash as kmh
+
+        texts = []
+        for pdf in it:
+            texts.extend(zip(pdf["doc_id"], pdf["_raw"]))
+        sigs = {int(i): kmh.minhash_text(kclean.clean_text(t)) for i, t in texts}
+        bands, rows = 16, kmh.NUM_PERM // 16
+        buckets: dict = {}
+        for i, sig in sigs.items():
+            for b in range(bands):
+                buckets.setdefault(
+                    (b, tuple(sig[b * rows:(b + 1) * rows])), []
+                ).append(i)
+        cands = set()
+        for ids in buckets.values():
+            ids = sorted(ids)
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    cands.add((ids[x], ids[y]))
+        out = []
+        for a, b in sorted(cands):
+            s1, s2 = sigs[a], sigs[b]
+            est = _round_half_up(
+                sum(u == v for u, v in zip(s1, s2)) / float(kmh.NUM_PERM)
+            )
+            if est >= 0.8:
+                out.append((a, b, est))
+        yield pd.DataFrame(out, columns=["id1", "id2", "g_jaccard_est"])
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("_raw")
+    )
+    golden = docs.coalesce(1).mapInPandas(
+        gen, schema="id1 long, id2 long, g_jaccard_est double"
+    )
+    return _pairs_mismatch(spark_pairs, golden, "jaccard_est")
+
+
+def q_simhash_pairs_parity(spark, sf_dir):
+    """Driver-visible parity for the SimHash pigeonhole tier: blocking is
+    EXACT 16-bit chunk equality (no hashing at all), so the kernel golden
+    reproduces the pair set bit-for-bit. Single-partition golden —
+    driver-check scale only."""
+    from .dedup import simhash_near_dup_pairs
+
+    d = _docs(spark, sf_dir).select("doc_id", "clean")
+    spark_pairs = simhash_near_dup_pairs(
+        d, text_col="clean", id_col="doc_id", max_hamming=3
+    ).select("id1", "id2", F.col("hamming").cast("long").alias("hamming"))
+
+    def gen(it):
+        import pandas as pd
+
+        from .kernel import clean as kclean
+        from .kernel import minhash as kmh
+
+        texts = []
+        for pdf in it:
+            texts.extend(zip(pdf["doc_id"], pdf["_raw"]))
+        sh = {
+            int(i): kmh.simhash64(
+                [w.lower() for w in ktok._WORD.findall(kclean.clean_text(t))]
+            )
+            for i, t in texts
+        }
+        buckets: dict = {}
+        for i, h in sh.items():
+            for c in range(4):
+                buckets.setdefault((c, (h >> (c * 16)) & 0xFFFF), []).append(i)
+        cands = set()
+        for ids in buckets.values():
+            ids = sorted(ids)
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    cands.add((ids[x], ids[y]))
+        out = []
+        for a, b in sorted(cands):
+            ham = bin(sh[a] ^ sh[b]).count("1")
+            if ham <= 3:
+                out.append((a, b, ham))
+        yield pd.DataFrame(out, columns=["id1", "id2", "g_hamming"])
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("_raw")
+    )
+    golden = docs.coalesce(1).mapInPandas(
+        gen, schema="id1 long, id2 long, g_hamming long"
+    )
+    return _pairs_mismatch(spark_pairs, golden, "hamming")
+
+
+def q_ann_topk_lsh_parity(spark, sf_dir):
+    """Driver-visible parity for the hyperplane-LSH ANN tier: the golden
+    recomputes the 8 seeded signature tables (same numpy float64 matmul),
+    the bucket-candidate set, and cosine via the SAME sequential
+    left-to-right double fold as functions/vector.cosine_col — bit-equal
+    doubles in, HALF_UP 4dp rounding out. Single-partition golden."""
+    from .similarity import lsh_topk
+
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    cand = emb.where(F.col("vec_id") != 0)
+    spark_top = lsh_topk(cand, q, dim=64, k=ANN_K, bits=8, tables=8).select(
+        F.col("vec_id").alias("id1"),
+        F.lit(0).cast("long").alias("id2"),
+        F.round(F.col("cosine"), 4).alias("cosine"),
+    )
+
+    def gen(it):
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        rows = []
+        for pdf in it:
+            rows.extend(zip(pdf["vec_id"], pdf["embedding"]))
+        vecs = {int(i): np.asarray(v, dtype=np.float32) for i, v in rows}
+        qv = vecs[0]
+        mat_ids = sorted(i for i in vecs if i != 0)
+        mat = np.vstack([vecs[i] for i in mat_ids])
+
+        def sig(m, seed):
+            planes = np.random.RandomState(seed).standard_normal((64, 8))
+            bits = (m.astype(np.float64) @ planes) >= 0
+            return bits @ (1 << np.arange(8)).astype(np.int64)
+
+        cands = set()
+        for t in range(8):
+            s = sig(mat, 7 + t)
+            qs = sig(qv.reshape(1, -1), 7 + t)[0]
+            for i, b in zip(mat_ids, s):
+                if b == qs:
+                    cands.add(i)
+
+        def fold_cos(a, b):
+            dot = na = nb = 0.0
+            for x, y in zip(a, b):
+                fx, fy = float(x), float(y)
+                dot += fx * fy
+                na += fx * fx
+                nb += fy * fy
+            den = math.sqrt(na) * math.sqrt(nb)
+            return 0.0 if den == 0 else dot / den
+
+        scored = sorted(
+            ((fold_cos(vecs[i], qv), i) for i in cands),
+            key=lambda p: (-p[0], p[1]),
+        )[:ANN_K]
+        out = [(i, 0, _round_half_up(c)) for c, i in scored]
+        yield pd.DataFrame(out, columns=["id1", "id2", "g_cosine"])
+
+    golden = emb.select("vec_id", "embedding").coalesce(1).mapInPandas(
+        gen, schema="id1 long, id2 long, g_cosine double"
+    )
+    return _pairs_mismatch(spark_top, golden, "cosine")
+
+
 PARITY_QUERIES = {
     "minhash_parity": q_minhash_parity,
     "simhash_parity": q_simhash_parity,
@@ -1979,6 +2182,14 @@ PARITY_QUERIES = {
     "langid_model_parity": q_langid_model_parity,
     "perplexity_lm_parity": q_perplexity_lm_parity,
     "flagship_model_parity": q_flagship_model_parity,
+}
+
+# pair-set parity queries: ONE-row n_mismatches over full-outer pair joins
+# (their oracle is a constant 1-row SELECT, unlike the per-doc parities)
+PAIR_PARITY_QUERIES = {
+    "lsh_pairs_parity": q_lsh_pairs_parity,
+    "simhash_pairs_parity": q_simhash_pairs_parity,
+    "ann_topk_lsh_parity": q_ann_topk_lsh_parity,
 }
 
 
@@ -2042,6 +2253,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # driver-visible kernel parity (distributed tier vs pure-kernel golden
     # in one job; oracle = constant-zero mismatch frame)
     **PARITY_QUERIES,
+    **PAIR_PARITY_QUERIES,
 }
 
 ORACLES: dict[str, str] = {
@@ -2082,4 +2294,5 @@ ORACLES: dict[str, str] = {
     "words": SQL_WORDS,
     "sentences": SQL_SENTENCES,
     **{name: _PARITY_ORACLE for name in PARITY_QUERIES},
+    **{name: _PAIRS_PARITY_ORACLE for name in PAIR_PARITY_QUERIES},
 }
