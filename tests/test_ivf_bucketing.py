@@ -56,6 +56,21 @@ def test_ivf_topk_batch_matches_single_and_recall(spark):
         assert len(got[qid] & exact) >= 4  # recall floor probing 3/8 cells
 
 
+def test_ivf_index_partition_pruning(spark, tmp_path_factory):
+    """The IVF scale path: the index written partitionBy(_cell) is probed
+    with a cell filter that must reach the scan as a PartitionFilter —
+    probing n_probe cells reads n_probe directories, not the corpus."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    indexed, model = similarity.build_ivf_index(emb, dim=64, n_cells=8)
+    path = str(tmp_path_factory.mktemp("ivf_idx")) + "/index"
+    indexed.write.partitionBy("_cell").parquet(path)
+    probe = spark.read.parquet(path).where(F.col("_cell").isin([1, 3, 5]))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_cell" in plan.split("PartitionFilters")[1][:200]
+    cells = {r["_cell"] for r in probe.select("_cell").distinct().collect()}
+    assert cells <= {1, 3, 5}
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path_factory):
     """Two tables bucketed on the same key join WITHOUT a shuffle."""
     docs = spark.createDataFrame(
