@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "token_stats",
     "complexity",
     "quality_score",
+    "repetition_signals",
     "word_counts",
     "unigram_ppl",
     "exact_dedup",

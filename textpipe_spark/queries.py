@@ -852,6 +852,90 @@ FROM base GROUP BY 1
 
 # ------------------------------------------------------------ q: quality score
 
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1 quality heuristics, public paper): over lowercased RE_WORD
+    tokens of clean —
+
+    * ``dup_bigram_fraction`` = 1 - distinct/total word 2-grams (generated
+      text repeats phrases);
+    * ``top_bigram_share`` = occurrences of the most frequent 2-gram /
+      total 2-grams (boilerplate headers dominate).
+
+    Both 0.0 for docs with < 2 tokens. Fully native: bigrams via
+    transform(sequence), the max-run count via an O(n) aggregate over the
+    SORTED bigram array (no explode, no shuffle — each doc answers inside
+    its own row, so the operator is map-only at any corpus size)."""
+    d = _docs(spark, sf_dir)
+    toks = X.tokens_lower_col(F.col("clean"))
+    d = d.select("doc_id", toks.alias("_toks"))
+    n = F.size(F.col("_toks"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("_toks"), i), F.element_at(F.col("_toks"), i + 1)
+        ),
+    )
+    d = d.select("doc_id", F.when(n >= 2, bigrams).alias("_bg"))
+    total = F.size(F.col("_bg"))
+    dup_frac = F.lit(1.0) - F.size(F.array_distinct(F.col("_bg"))).cast(
+        "double"
+    ) / total.cast("double")
+    # longest run of equal elements in the sorted array == max frequency
+    srt = F.array_sort(F.col("_bg"))
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+    best = F.aggregate(
+        srt,
+        acc0,
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                a["best"],
+                F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda a: a["best"],
+    )
+    top_share = best.cast("double") / total.cast("double")
+    return d.select(
+        "doc_id",
+        F.round(F.coalesce(F.when(total >= 1, dup_frac), F.lit(0.0)), 6).alias(
+            "dup_bigram_fraction"
+        ),
+        F.round(F.coalesce(F.when(total >= 1, top_share), F.lit(0.0)), 6).alias(
+            "top_bigram_share"
+        ),
+    )
+
+
+def _sql_repetition_signals() -> str:
+    return f"""
+WITH base AS (SELECT doc_id, {CLEAN} AS clean FROM documents),
+toked AS (SELECT doc_id, {O.tokens_lower_sql('clean')} AS t FROM base),
+bg AS (SELECT doc_id,
+          CASE WHEN len(t) >= 2
+               THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+               END AS b
+       FROM toked),
+ex AS (SELECT doc_id, unnest(b) AS g FROM bg WHERE b IS NOT NULL),
+cnt AS (SELECT doc_id, g, count(*) AS c FROM ex GROUP BY 1, 2),
+agg AS (SELECT doc_id,
+          1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_frac,
+          CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_share
+        FROM cnt GROUP BY 1)
+SELECT b.doc_id,
+       round(coalesce(a.dup_frac, 0.0), 6) AS dup_bigram_fraction,
+       round(coalesce(a.top_share, 0.0), 6) AS top_bigram_share
+FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
+"""
+
+
+SQL_REPETITION_SIGNALS = _sql_repetition_signals()
+
+
 def q_quality_score(spark, sf_dir):
     d = _with_lid(_docs(spark, sf_dir))
     c, r = F.col("clean"), F.col("raw")
@@ -2184,12 +2268,88 @@ PARITY_QUERIES = {
     "flagship_model_parity": q_flagship_model_parity,
 }
 
+def q_ann_topk_ivf_parity(spark, sf_dir):
+    """Driver-visible parity for the in-plan IVF batch probe. KMeans cell
+    assignment is MLlib's (not reproduced — near-tie argmin could
+    legitimately differ between distance formulations), so the golden
+    takes the Spark-side ``_cell`` column as SHARED INPUT and verifies
+    everything the probe adds: n_probe nearest-cell selection (the same
+    numpy float64 ``((q-centers)^2).sum`` + argsort the probe UDF runs —
+    bit-identical), the cell-candidate join, and per-query top-k with the
+    sequential-fold cosine and (desc cosine, asc id) tie-break."""
+    from .similarity import build_ivf_index, ivf_topk_batch
+
+    emb = _emb(spark, sf_dir)
+    qs = emb.where(F.col("vec_id") < 3).select(
+        "vec_id", F.col("embedding").alias("qvec")
+    )
+    cand = emb.where(F.col("vec_id") >= 3)
+    indexed, model = build_ivf_index(cand, dim=64, n_cells=8)
+    spark_top = ivf_topk_batch(indexed, model, qs, k=ANN_K, n_probe=3).select(
+        F.col("vec_id").alias("id1"),
+        F.col("query_id").cast("long").alias("id2"),
+        F.round(F.col("cosine"), 4).alias("cosine"),
+    )
+
+    import numpy as np
+
+    centers = np.vstack(model.clusterCenters())
+
+    def gen(it):
+        import math
+
+        import pandas as pd
+
+        rows = []
+        for pdf in it:
+            rows.extend(zip(pdf["vec_id"], pdf["embedding"], pdf["_cell"]))
+        vecs = {int(i): np.asarray(v, dtype=np.float32) for i, v, _ in rows}
+        # query rows carry NULL _cell -> NaN in pandas (not None)
+        cells = {int(i): int(c) for i, _, c in rows if pd.notna(c)}
+
+        def fold_cos(a, b):
+            dot = na = nb = 0.0
+            for x, y in zip(a, b):
+                fx, fy = float(x), float(y)
+                dot += fx * fy
+                na += fx * fx
+                nb += fy * fy
+            den = math.sqrt(na) * math.sqrt(nb)
+            return 0.0 if den == 0 else dot / den
+
+        out = []
+        for qid in (0, 1, 2):
+            qv = vecs[qid]
+            d = ((qv.astype(np.float64)[None, :] - centers) ** 2).sum(axis=-1)
+            probe = set(np.argsort(d)[:3].tolist())
+            cand_ids = [
+                i for i, c in cells.items() if c in probe and i >= 3
+            ]
+            scored = sorted(
+                ((fold_cos(vecs[i], qv), i) for i in cand_ids),
+                key=lambda p: (-p[0], p[1]),
+            )[:ANN_K]
+            out.extend((i, qid, _round_half_up(c)) for c, i in scored)
+        yield pd.DataFrame(out, columns=["id1", "id2", "g_cosine"])
+
+    base = indexed.select("vec_id", "embedding", "_cell").unionByName(
+        emb.where(F.col("vec_id") < 3)
+        .select("vec_id", "embedding")
+        .withColumn("_cell", F.lit(None).cast("int"))
+    )
+    golden = base.coalesce(1).mapInPandas(
+        gen, schema="id1 long, id2 long, g_cosine double"
+    )
+    return _pairs_mismatch(spark_top, golden, "cosine")
+
+
 # pair-set parity queries: ONE-row n_mismatches over full-outer pair joins
 # (their oracle is a constant 1-row SELECT, unlike the per-doc parities)
 PAIR_PARITY_QUERIES = {
     "lsh_pairs_parity": q_lsh_pairs_parity,
     "simhash_pairs_parity": q_simhash_pairs_parity,
     "ann_topk_lsh_parity": q_ann_topk_lsh_parity,
+    "ann_topk_ivf_parity": q_ann_topk_ivf_parity,
 }
 
 
@@ -2242,6 +2402,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_embedding": q_doc_embedding,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_frames": q_multimodal_frames,
+    "repetition_signals": q_repetition_signals,
     "words": q_words,
     "sentences": q_sentences,
     "emojis_annotated": q_emojis_annotated,
@@ -2291,6 +2452,7 @@ ORACLES: dict[str, str] = {
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "multimodal_resize": SQL_MULTIMODAL_RESIZE,
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,
+    "repetition_signals": SQL_REPETITION_SIGNALS,
     "words": SQL_WORDS,
     "sentences": SQL_SENTENCES,
     **{name: _PARITY_ORACLE for name in PARITY_QUERIES},
