@@ -225,3 +225,31 @@ def test_sentiment_multilang_gating():
     assert sentiment.sentiment_lang("", "en") == (0.0, 0.0)
     # en tier unchanged
     assert sentiment.sentiment("good great") == sentiment.sentiment_lang("good great", "en")
+
+
+def test_repetition_signals_semantics(spark):
+    """Handcrafted expectations for the Gopher-style repetition signals
+    (the oracle proves cross-engine agreement; this pins the SPEC)."""
+    from textpipe_spark.queries import q_repetition_signals
+    import tempfile, os
+
+    rows = [
+        (1, "s", "alpha beta alpha beta alpha"),  # ab,ba,ab,ba -> dup 0.5, top 0.5
+        (2, "s", "one two three four"),           # all distinct -> dup 0, top 1/3
+        (3, "s", "word"),                         # <2 tokens -> zeros
+        (4, "s", ""),                             # empty -> zeros
+        (5, "s", "x x x x"),                      # all same bigram -> dup 2/3, top 1.0
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        ).write.parquet(d + "/documents.parquet")
+        got = {
+            r["doc_id"]: (r["dup_bigram_fraction"], r["top_bigram_share"])
+            for r in q_repetition_signals(spark, d).collect()
+        }
+    assert got[1] == (0.5, 0.5)
+    assert got[2] == (0.0, round(1 / 3, 6))
+    assert got[3] == (0.0, 0.0)
+    assert got[4] == (0.0, 0.0)
+    assert got[5] == (round(2 / 3, 6), 1.0)
