@@ -1923,74 +1923,75 @@ _WV_TYPE = (
     "vector_norm:double,is_oov:boolean,vector:array<float>>>>"
 )
 
-q_minhash_parity = _parity_query(
-    [("mh", "array<bigint>")],
-    _golden_minhash,
-    lambda: {"mh": udfs.minhash_udf(F.col("clean"))},
-)
-q_simhash_parity = _parity_query(
-    [("sh", "bigint")],
-    _golden_simhash,
-    lambda: {"sh": udfs.simhash_udf(F.col("clean"))},
-)
-q_fingerprint_parity = _parity_query(
-    [("fp", "array<bigint>")],
-    _golden_fingerprint,
-    lambda: {"fp": udfs.winnow_udf(F.col("clean"))},
-)
-q_words_parity = _parity_query(
-    [("w", "array<struct<token:string,offset:int>>")],
-    _golden_words,
-    lambda: {"w": udfs.words_udf(F.col("clean"))},
-)
-q_sentences_parity = _parity_query(
-    [("s", "array<struct<text:string,start:int>>")],
-    _golden_sentences,
-    lambda: {"s": udfs.sentences_udf(F.col("clean"))},
-)
-q_keyterms_parity = _parity_query(
-    [("kt", "array<struct<term:string,score:double>>")],
-    _golden_keyterms,
-    lambda: {"kt": udfs.keyterms_udf(F.col("clean"))},
-)
-q_summary_parity = _parity_query(
-    [("sm", "array<string>")],
-    _golden_summary,
-    lambda: {"sm": udfs.summary_udf(F.col("clean"))},
-)
-q_doc_vector_parity = _parity_query(
-    [("dv", "array<double>")],
-    _golden_doc_vector,
-    lambda: {"dv": udfs.doc_vector_udf(F.col("clean"))},
-)
-q_doc_embedding_parity = _parity_query(
-    [("de", "array<double>")],
-    _golden_doc_embedding,
-    lambda: {"de": udfs.doc_embedding_udf(F.col("clean"))},
-)
-q_word_vectors_parity = _parity_query(
-    [("wv", _WV_TYPE)],
-    _golden_word_vectors,
-    lambda: {"wv": F.array_sort(F.map_entries(udfs.word_vectors_udf(F.col("clean"))))},
-)
-q_categories_parity = _parity_query(
-    [("cat", "array<struct<key:string,value:double>>")],
-    _golden_categories,
-    lambda: {"cat": F.array_sort(F.map_entries(udfs.categories_udf(F.col("clean"))))},
-)
-q_langid_model_parity = _parity_query(
-    [("lang", "string"), ("conf", "double"), ("reliable", "boolean")],
-    _golden_langid_model,
+
+def _combine(*golds):
+    """Concatenate several per-doc goldens into one multi-field golden
+    (each returns a tuple; combined runs inside one mapInPandas pass).
+    Grouping keeps every oracle-backed parity inside the driver's
+    50-entry correctness window (VERDICT r3 #1) without losing any
+    compared field — n_mismatches sums across ALL grouped fields."""
+
+    def g(raw):
+        out = []
+        for f in golds:
+            out.extend(f(raw))
+        return tuple(out)
+
+    return g
+
+
+# grouped per-doc parities: one query per kernel family, every field of
+# the old 14 single-field parities still compared (same eqNullSafe
+# semantics), folded so the whole oracle-backed surface is driver-visible
+q_hashes_parity = _parity_query(
+    [("mh", "array<bigint>"), ("sh", "bigint"), ("fp", "array<bigint>")],
+    _combine(_golden_minhash, _golden_simhash, _golden_fingerprint),
     lambda: {
+        "mh": udfs.minhash_udf(F.col("clean")),
+        "sh": udfs.simhash_udf(F.col("clean")),
+        "fp": udfs.winnow_udf(F.col("clean")),
+    },
+)
+q_tokens_parity = _parity_query(
+    [
+        ("w", "array<struct<token:string,offset:int>>"),
+        ("s", "array<struct<text:string,start:int>>"),
+        ("kt", "array<struct<term:string,score:double>>"),
+        ("sm", "array<string>"),
+    ],
+    _combine(_golden_words, _golden_sentences, _golden_keyterms, _golden_summary),
+    lambda: {
+        "w": udfs.words_udf(F.col("clean")),
+        "s": udfs.sentences_udf(F.col("clean")),
+        "kt": udfs.keyterms_udf(F.col("clean")),
+        "sm": udfs.summary_udf(F.col("clean")),
+    },
+)
+q_vectors_parity = _parity_query(
+    [("dv", "array<double>"), ("de", "array<double>"), ("wv", _WV_TYPE)],
+    _combine(_golden_doc_vector, _golden_doc_embedding, _golden_word_vectors),
+    lambda: {
+        "dv": udfs.doc_vector_udf(F.col("clean")),
+        "de": udfs.doc_embedding_udf(F.col("clean")),
+        "wv": F.array_sort(F.map_entries(udfs.word_vectors_udf(F.col("clean")))),
+    },
+)
+q_models_parity = _parity_query(
+    [
+        ("cat", "array<struct<key:string,value:double>>"),
+        ("lang", "string"),
+        ("conf", "double"),
+        ("reliable", "boolean"),
+        ("ppl", "double"),
+    ],
+    _combine(_golden_categories, _golden_langid_model, _golden_perplexity),
+    lambda: {
+        "cat": F.array_sort(F.map_entries(udfs.categories_udf(F.col("clean")))),
         "lang": udfs.langid_model_udf(F.col("clean"))["lang"],
         "conf": udfs.langid_model_udf(F.col("clean"))["conf"],
         "reliable": udfs.langid_model_udf(F.col("clean"))["reliable"],
+        "ppl": udfs.perplexity_udf(F.col("clean")),
     },
-)
-q_perplexity_lm_parity = _parity_query(
-    [("ppl", "double")],
-    _golden_perplexity,
-    lambda: {"ppl": udfs.perplexity_udf(F.col("clean"))},
 )
 
 
@@ -2252,19 +2253,10 @@ def q_ann_topk_lsh_parity(spark, sf_dir):
 
 
 PARITY_QUERIES = {
-    "minhash_parity": q_minhash_parity,
-    "simhash_parity": q_simhash_parity,
-    "fingerprint_parity": q_fingerprint_parity,
-    "words_parity": q_words_parity,
-    "sentences_parity": q_sentences_parity,
-    "keyterms_parity": q_keyterms_parity,
-    "summary_parity": q_summary_parity,
-    "doc_vector_parity": q_doc_vector_parity,
-    "doc_embedding_parity": q_doc_embedding_parity,
-    "word_vectors_parity": q_word_vectors_parity,
-    "categories_parity": q_categories_parity,
-    "langid_model_parity": q_langid_model_parity,
-    "perplexity_lm_parity": q_perplexity_lm_parity,
+    "hashes_parity": q_hashes_parity,
+    "tokens_parity": q_tokens_parity,
+    "vectors_parity": q_vectors_parity,
+    "models_parity": q_models_parity,
     "flagship_model_parity": q_flagship_model_parity,
 }
 
@@ -2355,7 +2347,15 @@ PAIR_PARITY_QUERIES = {
 
 # ------------------------------------------------------------------- registry
 
+# ORDER MATTERS: the driver's correctness gate checks only the FIRST 50
+# entries (insertion order) of this dict. Every oracle-backed query —
+# the SQL-oracled tier, the grouped kernel parities, and the pair-set
+# parities — must sit inside that window (pinned by
+# tests/test_registry.py). Rows-only value twins (model UDF / LSH
+# outputs whose correctness signal lives in the parities) go LAST.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- SQL-oracled (DuckDB hash-compared) ---
+    "flagship": q_flagship,
     "clean": q_clean,
     "token_stats": q_token_stats,
     "complexity": q_complexity,
@@ -2373,8 +2373,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_ppl": q_unigram_ppl,
     "jaccard_pairs": q_jaccard_pairs,
     "ann_topk": q_ann_topk,
-    "ann_topk_lsh": q_ann_topk_lsh,
-    "ann_topk_ivf": q_ann_topk_ivf,
     "knn_label": q_knn_label,
     "embedding_near_dup": q_embedding_near_dup,
     "doc_vector_stats": q_doc_vector_stats,
@@ -2387,7 +2385,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "raw": q_raw,
     "event_window_metrics": q_event_window_metrics,
     "revenue_by_segment": q_revenue_by_segment,
-    # rows-only (model UDFs / LSH — not SQL-expressible)
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_frames": q_multimodal_frames,
+    "multimodal_features": q_multimodal_features,
+    "repetition_signals": q_repetition_signals,
+    "words": q_words,
+    "sentences": q_sentences,
+    "emojis_annotated": q_emojis_annotated,
+    # --- driver-visible kernel parity (distributed tier vs pure-kernel
+    # golden in one job; oracle = constant-zero mismatch frame) ---
+    **PARITY_QUERIES,
+    **PAIR_PARITY_QUERIES,
+    # --- rows-only value twins (model UDFs / LSH — not SQL-expressible;
+    # correctness signal = the grouped parities above). PAST the driver's
+    # 50-entry correctness window by design. ---
     "langid_model": q_langid_model,
     "perplexity_lm": q_perplexity_lm,
     "minhash": q_minhash,
@@ -2400,21 +2411,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "summary": q_summary,
     "doc_vector": q_doc_vector,
     "doc_embedding": q_doc_embedding,
-    "multimodal_resize": q_multimodal_resize,
-    "multimodal_frames": q_multimodal_frames,
-    "repetition_signals": q_repetition_signals,
-    "words": q_words,
-    "sentences": q_sentences,
-    "emojis_annotated": q_emojis_annotated,
     "categories": q_categories,
     "word_vectors": q_word_vectors,
-    "flagship": q_flagship,
     "flagship_model": q_flagship_model,
-    "multimodal_features": q_multimodal_features,
-    # driver-visible kernel parity (distributed tier vs pure-kernel golden
-    # in one job; oracle = constant-zero mismatch frame)
-    **PARITY_QUERIES,
-    **PAIR_PARITY_QUERIES,
+    "ann_topk_lsh": q_ann_topk_lsh,
+    "ann_topk_ivf": q_ann_topk_ivf,
 }
 
 ORACLES: dict[str, str] = {
