@@ -57,6 +57,44 @@ def test_sentences_offsets():
     assert sents == [("Hello there", 0), ("Bye now", 13)]
 
 
+def test_sentences_abbreviation_guard():
+    # "Dr." no longer splits; sentence text keeps the restored period
+    assert tokenize.nsents("Dr. Smith went home. He slept.") == 2
+    assert tokenize.sentences("Dr. Smith went home. He slept.") == [
+        ("Dr. Smith went home", 0),
+        ("He slept", 21),
+    ]
+    # multi-period abbreviations
+    assert tokenize.nsents("Use tools, e.g. a hammer. Done.") == 2
+    assert tokenize.sentences("It works, i.e. it runs. Ship it!") == [
+        ("It works, i.e. it runs", 0),
+        ("Ship it", 24),
+    ]
+    # guard requires a word boundary: "badr." is not protected
+    assert tokenize.nsents("That was badr. Indeed.") == 2
+    # case-sensitive: "dr." (lowercase) still splits
+    assert tokenize.nsents("dr. who") == 2
+    # trailing abbreviation keeps its period in the emitted text
+    assert tokenize.sentences("He saw the Dr.") == [("He saw the Dr.", 0)]
+    # reference fixture stays at 4 sentences (tests/test_doc.py:93)
+    assert tokenize.nsents(clean.clean_text(TEXT_1)) == 4
+
+
+def test_sent_mask_two_pass_spec():
+    # the two consuming-guard passes ARE the spec: adversarial adjacency
+    # is fully masked after pass 2 (guard char of the 2nd occurrence is
+    # the 1st's sentinel), identically in re/Java/RE2
+    assert tokenize.sent_mask("Dr.Dr.Dr.") == "Dr\x01Dr\x01Dr\x01"
+    assert tokenize.sent_mask("Dr.Dr.Dr.Dr.") == "Dr\x01Dr\x01Dr\x01Dr\x01"
+    assert tokenize.sent_mask("e.g.e.g.") == "e\x01g\x01e\x01g\x01"
+    # length-preserving: offsets computed on masked text are valid
+    s = "Meet Dr. Smith, e.g. at noon. Mrs. Jones too."
+    assert len(tokenize.sent_mask(s)) == len(s)
+    # a pre-existing sentinel byte is inert for splitting (not a
+    # boundary) and restores to '.' on emit — the documented edge
+    assert tokenize.nsents("a\x01b. c") == 2
+
+
 def test_flesch_empty_fallback():
     # reference doc.py:370-371: 100 when no syllables
     assert tokenize.flesch(0, 0, 0) == 100.0

@@ -154,3 +154,65 @@ def test_pair_parity_queries_zero_and_not_vacuous(spark):
         "id1", "id2", (F.col("hamming") + 1).alias("g_hamming")
     )
     assert _pairs_mismatch(pairs, mutated, "hamming").first()["n_mismatches"] > 0
+
+
+ABBREV_CASES = [
+    "Dr. Smith went home. He slept.",
+    "Use tools, e.g. a hammer. Done.",
+    "It works, i.e. it runs. Ship it!",
+    "Mrs. Jones met Mr. Brown and Prof. Lee at Mt. Hood.",
+    "Dr.Dr.Dr.",                    # two-pass adjacency spec
+    "Dr.Dr.Dr.Dr.",
+    "e.g.e.g. i.e.i.e.",
+    "That was badr. Indeed.",       # guard: no protection inside a word
+    "dr. who",                      # case-sensitive
+    "He saw the Dr.",               # trailing abbreviation
+    "approx. 40 units, vs. 50 last week. etc. etc.",
+    "café Dr. étude. fin",          # non-ASCII word chars around guard
+    "One. Two! Three? Four... Five",
+    "a\x01b. c",                    # pre-existing sentinel byte is inert
+    "",
+]
+
+
+def test_sentence_mask_tri_engine(spark):
+    """Abbreviation guard closure: kernel == Spark (Java regex) == DuckDB
+    (RE2) on handcrafted adversarial cases — sentences text+offset and
+    nsents. The two consuming-guard passes are the spec; this is the
+    executable agreement proof on inputs sf0.01 may never contain."""
+    import duckdb
+
+    from textpipe_spark import oracle as O
+    from textpipe_spark.functions import text as X
+    from textpipe_spark.kernel import tokenize as ktok
+
+    # Spark leg
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ABBREV_CASES)], "doc_id long, clean string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            X.sentences_col(F.col("clean")).alias("sents"),
+            X.nsents_col(F.col("clean")).cast("long").alias("ns"),
+            X.sent_mask_col(F.col("clean")).alias("masked"),
+        ).collect()
+    }
+    for i, t in enumerate(ABBREV_CASES):
+        want = ktok.sentences(t)
+        assert rows[i]["masked"] == ktok.sent_mask(t), repr(t)
+        assert rows[i]["sents"] == [s for s, _ in want], repr(t)
+        assert rows[i]["ns"] == ktok.nsents(t), repr(t)
+
+    # DuckDB leg (RE2): masked text and nsents
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, x VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(ABBREV_CASES)))
+    got = con.execute(
+        f"SELECT i, {O.sent_mask_sql('x')} AS m, "
+        f"CAST({O.nsents_sql('x')} AS BIGINT) AS ns FROM t ORDER BY i"
+    ).fetchall()
+    for (i, m, ns), t in zip(got, ABBREV_CASES):
+        assert m == ktok.sent_mask(t), f"RE2 mask diverged on {t!r}"
+        assert ns == ktok.nsents(t), f"RE2 nsents diverged on {t!r}"

@@ -64,15 +64,37 @@ def ntokens_bpe_col(clean: Column) -> Column:
     return F.regexp_count(clean, F.lit(ktok.RE_BPE))
 
 
+def sent_mask_col(clean: Column) -> Column:
+    """Abbreviation mask (kernel ``tokenize.sent_mask``): two consuming-
+    guard regexp_replace passes per step — the tri-dialect spec. Each
+    step is byte-gated on its necessary substring (in-expression CASE
+    gates are free, PLANS.md §8); the gate tests the ORIGINAL clean,
+    which is equivalent to the kernel's current-string gate because
+    masking only removes '.' bytes and can never create a later step's
+    trigger."""
+    c = clean
+    for pat, tpl, sub in ktok.SENT_MASK_STEPS:
+        rep = tpl.replace("{1}", "$1").replace("{2}", "$2")
+        masked = F.regexp_replace(F.regexp_replace(c, pat, rep), pat, rep)
+        c = F.when(clean.contains(sub), masked).otherwise(c)
+    return c
+
+
 def sentences_col(clean: Column) -> Column:
-    """Non-empty trimmed segments between sentence boundaries."""
-    segs = F.split(clean, ktok.RE_SENT_SPLIT)
-    trimmed = F.transform(segs, lambda s: F.trim(s))
+    """Non-empty trimmed segments between sentence boundaries of the
+    abbreviation-masked text; emitted text restores the sentinel to '.'
+    (kernel ``tokenize.sentences``)."""
+    segs = F.split(sent_mask_col(clean), ktok.RE_SENT_SPLIT)
+    trimmed = F.transform(
+        segs, lambda s: F.replace(F.trim(s), F.lit(ktok.SENT_MASK), F.lit("."))
+    )
     return F.filter(trimmed, lambda s: s != F.lit(""))
 
 
 def nsents_col(clean: Column) -> Column:
-    return F.size(sentences_col(clean))
+    segs = F.split(sent_mask_col(clean), ktok.RE_SENT_SPLIT)
+    trimmed = F.transform(segs, lambda s: F.trim(s))
+    return F.size(F.filter(trimmed, lambda s: s != F.lit("")))
 
 
 def nsyllables_col(clean: Column) -> Column:

@@ -18,20 +18,78 @@ RE_WORD = "[A-Za-z0-9_À-ÖØ-öø-ÿ]+"
 RE_BPE = "[A-Za-zÀ-ÖØ-öø-ÿ]+|[0-9]+|[^A-Za-z0-9À-ÖØ-öø-ÿ \t\n\r\f\v]"
 
 # Sentence boundary: one or more of .!? (reference: spaCy sents,
-# doc.py:282-309; ours is the rule-based equivalent).
-#
-# Known, DELIBERATE gap vs spaCy: abbreviations split ("Dr. Smith" is two
-# segments). Closing it needs either (a) a lookbehind excluding known
-# abbreviations — RE2 (the DuckDB oracle dialect) has NO lookaround, so
-# the pattern cannot stay tri-dialect, or (b) a post-pass rejoining
-# segments whose tail token is a known abbreviation — expressible in all
-# three engines but it breaks the separator/match duality that derives
-# sentence OFFSETS in pure SQL (queries.SQL_SENTENCES) and silently
-# changes every downstream consumer (nsents, complexity, lead_sentences,
-# summary, keyterms). Kernel-is-spec: the simple rule is applied
-# identically everywhere, which the quality-filter use case needs more
-# than linguistic fidelity.
+# doc.py:282-309; ours is the rule-based equivalent), applied to the
+# abbreviation-MASKED text (see below).
 RE_SENT_SPLIT = "[.!?]+"
+
+# ---- abbreviation guard (closes the "Dr. Smith splits wrong" gap vs
+# spaCy, VERDICT r3 #2) ----------------------------------------------
+#
+# Before splitting, the period of a known abbreviation is replaced by a
+# 1-byte sentinel so `[.!?]+` no longer sees it; sentence TEXT restores
+# the sentinel back to '.' on emit. The mask is length-preserving, so
+# every character offset computed on the masked text is valid for the
+# original — the separator/match duality that derives offsets in pure
+# SQL (queries.SQL_SENTENCES) survives unchanged.
+#
+# Tri-dialect design: RE2 (DuckDB) has no lookaround, so the leading
+# word-boundary guard CONSUMES one non-word char (or ^) and re-emits it
+# via backreference, and the whole replace runs TWICE — pass 1 masks
+# every occurrence whose guard char wasn't swallowed by the previous
+# match, pass 2 catches the rest (the guard char by then is the
+# sentinel, which is non-word). THE TWO CONSUMING PASSES ARE THE SPEC:
+# Python `re`, Java regex and RE2 all run the identical pattern twice,
+# so the three engines agree by construction — including on adversarial
+# adjacency like "Dr.Dr.Dr." (pinned in tests/test_kernel.py). No
+# lookbehind anywhere, no cross-dialect equivalence argument needed.
+#
+# The list is deliberately literal and case-sensitive (kernel-is-spec:
+# deterministic > linguistically clever). "No."/"Al." style ambiguous
+# tokens are excluded; "etc." is protected even though prose sometimes
+# ends sentences with it — gluing two sentences occasionally beats
+# splitting every "etc." mid-sentence for the quality-filter use case.
+SENT_MASK = "\x01"
+
+# single-period abbreviations, longest-first within a shared prefix
+# family (Mrs before Mr/Ms) so no alternative shadows another
+ABBREVS = [
+    "approx", "Capt", "Prof", "Mrs", "Rev", "Gen", "Hon", "Sgt", "Fig",
+    "etc", "Mt", "Dr", "Mr", "Ms", "Jr", "Sr", "St", "vs", "cf", "al",
+]
+
+# guard: start-of-text or one consumed non-word char (complement of the
+# RE_WORD class) — re-emitted by the replacement
+RE_GUARD = "(^|[^A-Za-z0-9_À-ÖØ-öø-ÿ])"
+
+RE_ABBREV_DOT = RE_GUARD + "(" + "|".join(ABBREVS) + ")\\."
+RE_EG_DOT = RE_GUARD + "e\\.g\\."
+RE_IE_DOT = RE_GUARD + "i\\.e\\."
+
+# (pattern, replacement template, necessary substring for byte-gating).
+# Templates use {1}/{2} for group refs; consumers rewrite them to the
+# dialect's backref syntax (\1 for Python/RE2, $1 for Java). Applied in
+# THIS order, each twice.
+SENT_MASK_STEPS = [
+    (RE_EG_DOT, "{1}e" + SENT_MASK + "g" + SENT_MASK, "e.g."),
+    (RE_IE_DOT, "{1}i" + SENT_MASK + "e" + SENT_MASK, "i.e."),
+    (RE_ABBREV_DOT, "{1}{2}" + SENT_MASK, "."),
+]
+
+_MASK_RES = [
+    (re.compile(pat), tpl.replace("{1}", "\\1").replace("{2}", "\\2"), sub)
+    for pat, tpl, sub in SENT_MASK_STEPS
+]
+
+
+def sent_mask(clean: str) -> str:
+    """Abbreviation-masked text: same length, abbreviation periods
+    replaced by ``SENT_MASK``. Two consuming-guard passes per step —
+    the tri-dialect spec (see module comment)."""
+    s = clean
+    for rx, rep, sub in _MASK_RES:
+        if sub in s:
+            s = rx.sub(rep, rx.sub(rep, s))
+    return s
 
 # Syllable proxy: vowel groups (Flesch inputs, reference doc.py:356-372 uses
 # textacy's syllable counts; ours is the standard vowel-group approximation).
@@ -59,28 +117,32 @@ def ntokens_bpe(clean: str) -> int:
 def sentences(clean: str) -> list[tuple[str, int]]:
     """Sentences with start offsets (reference ``Doc.sents``, doc.py:294-309).
 
-    Segments are the non-empty stretches between ``[.!?]+`` boundaries,
-    trimmed of spaces.
+    Segments are the non-empty stretches between ``[.!?]+`` boundaries of
+    the abbreviation-MASKED text, trimmed of spaces; emitted text restores
+    the mask sentinel back to '.'. Offsets are positions in the original
+    (mask is length-preserving).
     """
+    masked = sent_mask(clean)
     out: list[tuple[str, int]] = []
     pos = 0
-    for m in _SENT.finditer(clean):
-        seg = clean[pos : m.start()]
+    for m in _SENT.finditer(masked):
+        seg = masked[pos : m.start()]
         stripped = seg.strip(" ")
         if stripped:
-            out.append((stripped, pos + seg.index(stripped[0])))
+            out.append((stripped.replace(SENT_MASK, "."), pos + seg.index(stripped[0])))
         pos = m.end()
-    seg = clean[pos:]
+    seg = masked[pos:]
     stripped = seg.strip(" ")
     if stripped:
-        out.append((stripped, pos + seg.index(stripped[0])))
+        out.append((stripped.replace(SENT_MASK, "."), pos + seg.index(stripped[0])))
     return out
 
 
 def nsents(clean: str) -> int:
-    """Count of non-empty inter-boundary segments — matches the SQL spec
-    ``size(filter(split(clean, RE_SENT_SPLIT), s -> trim(s) != ''))``."""
-    return sum(1 for seg in _SENT.split(clean) if seg.strip(" "))
+    """Count of non-empty inter-boundary segments of the masked text —
+    matches ``size(filter(split(sent_mask(clean), RE_SENT_SPLIT),
+    s -> trim(s) != ''))``."""
+    return sum(1 for seg in _SENT.split(sent_mask(clean)) if seg.strip(" "))
 
 
 def nsyllables(clean: str) -> int:

@@ -47,10 +47,22 @@ def nwords_sql(clean: str) -> str:
     return rcount(clean, ktok.RE_WORD)
 
 
+def sent_mask_sql(expr: str) -> str:
+    """Abbreviation mask (kernel ``tokenize.sent_mask``): the same two
+    consuming-guard RE2 passes per step. The sentinel byte is embedded
+    raw in the replacement literal (DuckDB strings do no backslash
+    processing, so it reaches RE2's rewriter verbatim)."""
+    out = expr
+    for pat, tpl, _sub in ktok.SENT_MASK_STEPS:
+        rep = tpl.replace("{1}", "\\1").replace("{2}", "\\2")
+        out = rr(rr(out, pat, rep), pat, rep)
+    return out
+
+
 def nsents_sql(clean: str) -> str:
     return (
         f"len(list_filter(list_transform("
-        f"regexp_split_to_array({clean}, {sql_lit(ktok.RE_SENT_SPLIT)}), "
+        f"regexp_split_to_array({sent_mask_sql(clean)}, {sql_lit(ktok.RE_SENT_SPLIT)}), "
         f"s -> trim(s, ' ')), s -> s != ''))"
     )
 

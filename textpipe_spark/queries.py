@@ -355,11 +355,11 @@ def q_lead_sentences(spark, sf_dir):
 
 
 SQL_LEAD_SENTENCES = f"""
-WITH base AS (SELECT doc_id, {CLEAN} AS clean FROM documents)
+WITH base AS (SELECT doc_id, {O.sent_mask_sql(CLEAN)} AS masked FROM documents)
 SELECT doc_id,
        array_to_string(list_filter(list_transform(
-           regexp_split_to_array(clean, {sql_lit(ktok.RE_SENT_SPLIT)}),
-           s -> trim(s, ' ')), s -> s != '')[1:3], ' | ') AS lead3
+           regexp_split_to_array(masked, {sql_lit(ktok.RE_SENT_SPLIT)}),
+           s -> replace(trim(s, ' '), chr(1), '.')), s -> s != '')[1:3], ' | ') AS lead3
 FROM base
 """
 
@@ -1446,10 +1446,10 @@ def q_sentences(spark, sf_dir):
 
 
 SQL_SENTENCES = f"""
-WITH base AS (SELECT doc_id, {CLEAN} AS clean FROM documents),
+WITH base AS (SELECT doc_id, {O.sent_mask_sql(CLEAN)} AS masked FROM documents),
 tk AS (SELECT doc_id,
-          string_split_regex(clean, {sql_lit(ktok.RE_SENT_SPLIT)}) AS segs,
-          regexp_extract_all(clean, {sql_lit(ktok.RE_SENT_SPLIT)}) AS bnds
+          string_split_regex(masked, {sql_lit(ktok.RE_SENT_SPLIT)}) AS segs,
+          regexp_extract_all(masked, {sql_lit(ktok.RE_SENT_SPLIT)}) AS bnds
        FROM base),
 rend AS (SELECT doc_id,
   list_filter(
@@ -1459,7 +1459,7 @@ rend AS (SELECT doc_id,
              coalesce(list_sum(list_transform(segs[1:k-1], s -> length(s))), 0)
              + coalesce(list_sum(list_transform(bnds[1:k-1], b -> length(b))), 0)
              + (length(segs[k]) - length(ltrim(segs[k], ' ')))
-           AS VARCHAR) || '@' || trim(segs[k], ' ')
+           AS VARCHAR) || '@' || replace(trim(segs[k], ' '), chr(1), '.')
            END),
     x -> x IS NOT NULL) AS parts
   FROM tk)
