@@ -209,6 +209,16 @@ def test_emoji():
     assert out[0][0] == "😂" and out[0][2] > 0
 
 
+def test_emoji_counts_over_clean_not_raw():
+    # reference Doc.emojis matches over the spaCy doc built from CLEAN
+    # content (doc.py:260-280): an emoji inside stripped markup must not
+    # count (VERDICT r3 #3 — input-semantics fix)
+    raw = "<script>😡 hidden</script>ok 😂 <!-- 💀 -->done"
+    cleaned = clean.clean_text(raw)
+    assert "😡" not in cleaned and "💀" not in cleaned
+    assert len(emoji.emojis(cleaned)) == 1
+
+
 def test_doc_process_end_to_end():
     for t in EDGE_TEXTS:
         res = doc.process(t if t is not None else "")

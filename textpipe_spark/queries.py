@@ -1028,9 +1028,12 @@ SQL_LINEAGE_METRICS = _sql_lineage_metrics()
 # ---------------------------------------------------------------- q: emoji scan
 
 def q_emoji_counts(spark, sf_dir):
+    """Emoji count over the CLEANED doc — reference Doc.emojis matches
+    over the spaCy doc built from clean content (doc.py:260-280), so an
+    emoji inside stripped markup does not count."""
     d = _docs(spark, sf_dir)
     return d.select(
-        "doc_id", X.emoji_count_col(F.col("raw")).cast("long").alias("n_emoji")
+        "doc_id", X.emoji_count_col(F.col("clean")).cast("long").alias("n_emoji")
     )
 
 
@@ -1038,8 +1041,9 @@ def _sql_emoji() -> str:
     from .kernel import emoji as kemoji
 
     return f"""
-SELECT doc_id, CAST({O.rcount(RAW, kemoji.EMOJI_PATTERN)} AS BIGINT) AS n_emoji
-FROM documents
+WITH base AS (SELECT doc_id, {CLEAN} AS clean FROM documents)
+SELECT doc_id, CAST({O.rcount('clean', kemoji.EMOJI_PATTERN)} AS BIGINT) AS n_emoji
+FROM base
 """
 
 
@@ -1524,7 +1528,7 @@ def q_emojis_annotated(spark, sf_dir):
     engine rounds a float at compare time. Oracle: _sql_emojis_annotated."""
     d = _docs(spark, sf_dir)
     return d.select(
-        "doc_id", udfs.emojis_rendered_udf(F.col("raw")).alias("emojis")
+        "doc_id", udfs.emojis_rendered_udf(F.col("clean")).alias("emojis")
     )
 
 
@@ -1539,7 +1543,7 @@ def _sql_emojis_annotated() -> str:
     return f"""
 WITH lex AS (SELECT map([{keys}], [{vals}]) AS mp),
 m AS (SELECT doc_id,
-       regexp_extract_all({RAW}, {sql_lit(kemoji.EMOJI_PATTERN)}) AS ms
+       regexp_extract_all({CLEAN}, {sql_lit(kemoji.EMOJI_PATTERN)}) AS ms
 FROM documents)
 SELECT doc_id,
        coalesce(array_to_string(list_transform(ms, e -> e || '|' || mp[e][1]), ';'), '') AS emojis
