@@ -116,3 +116,61 @@ def test_fuzz_scrub_kernel_vs_duckdb():
         assert s == want_s, f"text diverged on {case!r}: {s!r} != {want_s!r}"
         for n, got in zip(kscrub.SCRUB_NAMES, cnts):
             assert got == want_c[n], f"count[{n}] diverged on {case!r}"
+
+
+CHARREF_EDGE_CASES = [
+    # stacked '&'-producers: sequential passes fully decode '&#38;amp;'
+    # to '&' where bs4 would stop at '&amp;' — DOCUMENTED out of spec
+    # (kernel/clean.py:48-56); all three engines must agree on the
+    # documented sequential semantics
+    "&#38;amp;",
+    "&amp;#39;",
+    "&amp;lt;b&amp;gt;",
+    "&#38;#38;",
+    "&amp;amp;amp;",
+    "x&nbsp;&amp;&nbsp;y",
+    "&lt;script&gt;alert(1)&lt;/script&gt;",
+    "&quot;&#39;&apos;&hellip;",
+    "&;&#;&amp",          # malformed refs pass through untouched
+    "&#x26;amp;",
+]
+
+
+def test_charref_stacked_entities_tri_engine(spark):
+    """Executable pin for the double-encoded charref tail: kernel clean ==
+    Spark clean == DuckDB clean_sql on stacked/malformed entity inputs."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from textpipe_spark import oracle as O
+    from textpipe_spark.functions.text import clean_col
+    from textpipe_spark.kernel import clean as kclean
+
+    want = [kclean.clean_text(t) for t in CHARREF_EDGE_CASES]
+    # the documented sequential semantics, spot-checked:
+    # '&#38;amp;' -> '&#38;' decoded first -> '&amp;' -> '&' (bs4 stops
+    # at '&amp;'); '&amp;#39;' -> only '&amp;' matches -> literal '&#39;'
+    # (same as bs4's single decode); '&amp;lt;' -> literal '&lt;'
+    assert kclean.clean_text("&#38;amp;") == "&"
+    assert kclean.clean_text("&amp;#39;") == "&#39;"
+    assert kclean.clean_text("&amp;lt;") == "&lt;"
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CHARREF_EDGE_CASES)],
+        "doc_id long, text string",
+    )
+    got_spark = {
+        r["doc_id"]: r["c"]
+        for r in df.select("doc_id", clean_col(F.col("text")).alias("c")).collect()
+    }
+    for i, w in enumerate(want):
+        assert got_spark[i] == w, repr(CHARREF_EDGE_CASES[i])
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(CHARREF_EDGE_CASES)))
+    rows = con.execute(
+        f"SELECT i, {O.clean_sql()} AS c FROM t ORDER BY i"
+    ).fetchall()
+    for (i, c), w in zip(rows, want):
+        assert c == w, f"DuckDB clean diverged on {CHARREF_EDGE_CASES[i]!r}"
