@@ -266,3 +266,67 @@ def test_near_dup_stream_verifies_all_candidates(spark, tmp_path_factory):
     survivors = {r["path"] for r in spark.read.parquet(out).collect()}
     assert "y0" in survivors      # unrelated control doc passes
     assert "x0" not in survivors  # A (0.97) must kill it despite B (0.06)
+
+
+def test_streaming_replay_parity_query(spark, tmp_path_factory):
+    """The driver-visible replay of the near-dup micro-batch body: zero
+    mismatches vs the kernel golden on a handcrafted corpus with a known
+    cross-epoch duplicate, a within-epoch duplicate pair, and uniques —
+    and the kept-set itself is exactly what the semantics dictate."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from textpipe_spark.queries import q_streaming_replay_parity
+    from textpipe_spark.streaming import process_near_dup_batch
+
+    big_a = ("alpha beta gamma delta " * 40).strip()
+    big_b = ("omega psi chi phi " * 40).strip()
+    rows = [
+        (0, "s", big_a),            # epoch 0, kept
+        (1, "s", big_a),            # epoch 1, dropped (historical dup of 0)
+        (2, "s", big_b),            # epoch 0 \ within-epoch dup pair:
+        (4, "s", big_b),            # epoch 0 /  larger _did loses
+        (3, "s", "totally different unique text with its own words"),
+        (5, "s", "another unique document that matches nothing at all"),
+    ]
+    d = tmp_path_factory.mktemp("replay_src")
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    # parity: distributed replay == kernel golden
+    n = q_streaming_replay_parity(spark, str(d)).first()["n_mismatches"]
+    assert n == 0
+
+    # and the kept-set is the dictated one
+    base = tempfile.mkdtemp()
+    try:
+        docs = spark.read.parquet(str(d / "documents.parquet")).select(
+            "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("content"),
+            F.pmod(F.col("doc_id"), F.lit(2)).cast("int").alias("_ep"),
+        )
+        for ep in (0, 1):
+            process_near_dup_batch(
+                docs.where(F.col("_ep") == ep).select("doc_id", "content"),
+                ep, f"{base}/out", f"{base}/index", f"{base}/index_sigs",
+                text_col="content", id_col="doc_id", threshold=0.9, bands=16,
+            )
+        kept = {
+            int(r["doc_id"]): int(r["_epoch"])
+            for r in spark.read.parquet(f"{base}/out").collect()
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+    dids = {
+        r["doc_id"]: r["h"]
+        for r in spark.createDataFrame([(2,), (4,)], "doc_id long")
+        .select("doc_id", F.xxhash64("doc_id").alias("h")).collect()
+    }
+    within_loser = 2 if dids[2] > dids[4] else 4
+    assert 1 not in kept, "cross-epoch duplicate must be dropped"
+    assert within_loser not in kept, "within-epoch keep-first must drop larger _did"
+    assert set(kept) == {0, 2, 4, 3, 5} - {within_loser}
+    assert kept[0] == 0 and kept[3] == 1 and kept[5] == 1

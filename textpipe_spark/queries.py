@@ -2339,6 +2339,127 @@ def q_ann_topk_ivf_parity(spark, sf_dir):
     return _pairs_mismatch(spark_top, golden, "cosine")
 
 
+_REPLAY_THRESHOLD = 0.9
+_REPLAY_BANDS = 16
+
+
+def q_streaming_replay_parity(spark, sf_dir):
+    """Driver-visible evidence for the STREAMING near-dup drop semantics
+    (VERDICT r3 #5): replays the REAL micro-batch body
+    (``streaming.process_near_dup_batch`` — the exact function
+    ``near_dup_dedup_stream``'s foreachBatch calls: epoch-pruned index
+    reads, per-pair verify before collapse, dynamic epoch-partitioned
+    idempotent writes) over two synthetic epochs of the documents table
+    (epoch = doc_id % 2), and compares the kept-set (doc_id, epoch)
+    against a pure-kernel golden that replays the same two epochs.
+
+    The golden generates candidates by EXACT band-slice equality instead
+    of cloning F.hash: hash collisions can only ADD candidates, and any
+    pair passing ``round(est,4) >= 0.9`` has <= 12 mismatched positions
+    over 128 perms < 16 bands, so it shares at least one exact band slice
+    (pigeonhole) — the two candidate sets therefore agree on every
+    verified drop (same argument as q_lsh_pairs_parity). ``_did``
+    (xxhash64, the within-batch keep-first order) is shared input, like
+    ``_cell`` in q_ann_topk_ivf_parity. Temp dirs + tiny collect are the
+    verification harness, driver-check scale only (like all goldens)."""
+    import shutil
+    import tempfile
+
+    from .streaming import process_near_dup_batch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.coalesce(F.col("text"), F.lit("")).alias("content"),
+        F.pmod(F.col("doc_id"), F.lit(2)).cast("int").alias("_ep"),
+    )
+    base = tempfile.mkdtemp(prefix="stream_replay_")
+    out_dir = f"{base}/out"
+    index_dir = f"{base}/index"
+    sigs_dir = f"{base}/index_sigs"
+    try:
+        for ep in (0, 1):
+            process_near_dup_batch(
+                docs.where(F.col("_ep") == ep).select("doc_id", "content"),
+                ep, out_dir, index_dir, sigs_dir,
+                text_col="content", id_col="doc_id",
+                threshold=_REPLAY_THRESHOLD, bands=_REPLAY_BANDS,
+            )
+        kept_rows = [
+            (int(r["doc_id"]), int(r["_epoch"]))
+            for r in spark.read.parquet(out_dir).select("doc_id", "_epoch").collect()
+        ]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    s = spark.createDataFrame(kept_rows or [], "doc_id long, s_epoch int")
+
+    from .kernel.minhash import NUM_PERM
+
+    rows_per_band = NUM_PERM // _REPLAY_BANDS
+
+    def gen(it):
+        import pandas as pd
+
+        from .kernel import minhash as kmh
+
+        rows = []
+        for pdf in it:
+            rows.extend(zip(pdf["doc_id"], pdf["content"], pdf["_did"], pdf["_ep"]))
+        sig = {int(d): kmh.minhash_text(t or "") for d, t, _, _ in rows}
+        did = {int(d): int(h) for d, _, h, _ in rows}
+
+        def slices(s_):
+            return [
+                (i, tuple(s_[i * rows_per_band : (i + 1) * rows_per_band]))
+                for i in range(_REPLAY_BANDS)
+            ]
+
+        def dup(a, b):
+            m = sum(1 for x, y in zip(sig[a], sig[b]) if x == y) / float(NUM_PERM)
+            return _round_half_up(m, 4) >= _REPLAY_THRESHOLD
+
+        index_bands: dict = {}
+        kept_out = []
+        for ep in (0, 1):
+            batch = sorted(int(d) for d, _, _, e in rows if int(e) == ep)
+            hist = {
+                d
+                for d in batch
+                if any(
+                    dup(d, c)
+                    for key in slices(sig[d])
+                    for c in index_bands.get(key, ())
+                )
+            }
+            batch_bands: dict = {}
+            for d in batch:
+                for key in slices(sig[d]):
+                    batch_bands.setdefault(key, []).append(d)
+            losers = set()
+            for ds in batch_bands.values():
+                for i in range(len(ds)):
+                    for j in range(i + 1, len(ds)):
+                        a, b = ds[i], ds[j]
+                        if dup(a, b):
+                            # within-batch keep-first on _did order
+                            # (dedup.minhash_lsh_pairs: id1 < id2, id2 loses)
+                            losers.add(a if did[a] > did[b] else b)
+            for d in batch:
+                if d not in hist and d not in losers:
+                    kept_out.append((d, ep))
+                    for key in slices(sig[d]):
+                        index_bands.setdefault(key, []).append(d)
+        yield pd.DataFrame(kept_out, columns=["doc_id", "g_epoch"])
+
+    golden = (
+        docs.withColumn("_did", F.xxhash64(F.col("doc_id")))
+        .coalesce(1)
+        .mapInPandas(gen, schema="doc_id long, g_epoch int")
+    )
+    j = s.join(golden, "doc_id", "full_outer")
+    bad = F.when(F.col("s_epoch").eqNullSafe(F.col("g_epoch")), 0).otherwise(1)
+    return j.agg(F.coalesce(F.sum(bad), F.lit(0)).cast("long").alias("n_mismatches"))
+
+
 # pair-set parity queries: ONE-row n_mismatches over full-outer pair joins
 # (their oracle is a constant 1-row SELECT, unlike the per-doc parities)
 PAIR_PARITY_QUERIES = {
@@ -2346,6 +2467,7 @@ PAIR_PARITY_QUERIES = {
     "simhash_pairs_parity": q_simhash_pairs_parity,
     "ann_topk_lsh_parity": q_ann_topk_lsh_parity,
     "ann_topk_ivf_parity": q_ann_topk_ivf_parity,
+    "streaming_replay_parity": q_streaming_replay_parity,
 }
 
 

@@ -157,119 +157,13 @@ def near_dup_dedup_stream(
     docs is dropped if ANY of them clears the threshold. Recall is the
     LSH band/row trade-off, identical to the batch tier.
     """
-    from ..dedup import minhash_lsh_pairs, with_minhash
-    from .. import udfs
-    from ..kernel.minhash import NUM_PERM
-
     sigs_dir = index_dir.rstrip("/") + "_sigs"
 
     def process_batch(batch_df: DataFrame, epoch_id: int):
-        spark = batch_df.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        sig = with_minhash(batch_df, text_col).withColumn(
-            "_did", F.xxhash64(F.col(id_col))
+        process_near_dup_batch(
+            batch_df, epoch_id, out_dir, index_dir, sigs_dir,
+            text_col=text_col, id_col=id_col, threshold=threshold, bands=bands,
         )
-        sig = sig.persist()
-        try:
-            banded = sig.select(
-                F.col("_did"),
-                F.col("minhash"),
-                F.posexplode(udfs.lsh_bands_col(F.col("minhash"), bands)).alias(
-                    "band_idx", "band_hash"
-                ),
-            )
-            from pyspark.errors import AnalysisException
-
-            try:
-                # prior epochs ONLY (partition-pruned): a retried epoch must
-                # not see its own partial previous attempt (it would drop
-                # every incoming doc as a self-duplicate), and the epoch-N
-                # overwrite below must never touch files this read plan
-                # still references (lazy plans re-evaluate per write)
-                index = spark.read.parquet(index_dir).where(
-                    F.col("_epoch") < F.lit(int(epoch_id))
-                )
-                sigs = spark.read.parquet(sigs_dir).where(
-                    F.col("_epoch") < F.lit(int(epoch_id))
-                )
-                # all (incoming, indexed) band collisions, deduped at PAIR
-                # granularity; the similarity verify runs per pair and only
-                # then collapses to per-_did (ADVICE r2: collapsing first
-                # checked one arbitrary candidate and silently lost recall)
-                pairs = (
-                    banded.join(index, ["band_idx", "band_hash"])
-                    .select("_did", "minhash", "idx_did")
-                    .dropDuplicates(["_did", "idx_did"])
-                    .join(sigs.select("idx_did", F.col("minhash").alias("mh2")),
-                          "idx_did")
-                )
-                est = (
-                    F.size(
-                        F.filter(
-                            F.zip_with(
-                                F.col("minhash"), F.col("mh2"), lambda a, b: a == b
-                            ),
-                            lambda x: x,
-                        )
-                    ).cast("double")
-                    / F.lit(float(NUM_PERM))
-                )
-                hist_dups = (
-                    pairs.where(F.round(est, 4) >= threshold)
-                    .select("_did")
-                    .distinct()
-                )
-            except AnalysisException as exc:
-                # only the first batch (index table not created yet) may
-                # pass — anything else is a real failure
-                if "PATH_NOT_FOUND" not in str(exc) and "unable to infer schema" not in str(exc).lower():
-                    raise
-                hist_dups = sig.select("_did").limit(0)
-            # within-batch near-dups (keep-first)
-            batch_pairs = minhash_lsh_pairs(
-                sig.select(F.col("_did").alias("doc_id"), text_col),
-                text_col, "doc_id", threshold=threshold, bands=bands,
-            )
-            batch_losers = batch_pairs.select(F.col("id2").alias("_did")).distinct()
-            losers = hist_dups.union(batch_losers).distinct()
-            kept = sig.join(losers, "_did", "left_anti").withColumn(
-                "_epoch", F.lit(int(epoch_id))
-            )
-            # materialise once: the three writes below would otherwise each
-            # re-run the band joins + verify
-            kept = kept.persist()
-            kept.count()
-            (
-                kept.drop("_did", "minhash")
-                .write.mode("overwrite")
-                .partitionBy("_epoch")
-                .parquet(out_dir)
-            )
-            (
-                kept.select(
-                    F.col("_epoch"),
-                    F.posexplode(udfs.lsh_bands_col(F.col("minhash"), bands)).alias(
-                        "band_idx", "band_hash"
-                    ),
-                    F.col("_did").alias("idx_did"),
-                )
-                .write.mode("overwrite")
-                .partitionBy("_epoch", "band_idx")
-                .parquet(index_dir)
-            )
-            (
-                kept.select(
-                    F.col("_epoch"),
-                    F.col("_did").alias("idx_did"),
-                    F.col("minhash"),
-                )
-                .write.mode("overwrite")
-                .partitionBy("_epoch")
-                .parquet(sigs_dir)
-            )
-            kept.unpersist()
-        finally:
-            sig.unpersist()
 
     return (
         stream_df.writeStream.foreachBatch(process_batch)
@@ -277,6 +171,135 @@ def near_dup_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def process_near_dup_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    out_dir: str,
+    index_dir: str,
+    sigs_dir: str,
+    *,
+    text_col: str = "content",
+    id_col: str = "path",
+    threshold: float = 0.9,
+    bands: int = 16,
+) -> None:
+    """The ``near_dup_dedup_stream`` micro-batch body, module-level so a
+    batch-shaped replay (queries.q_streaming_replay_parity) can drive the
+    IDENTICAL code path — epoch-pruned index reads, per-pair verify,
+    dynamic epoch-partitioned writes — without a streaming query."""
+    from ..dedup import minhash_lsh_pairs, with_minhash
+    from .. import udfs
+    from ..kernel.minhash import NUM_PERM
+
+    spark = batch_df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    sig = with_minhash(batch_df, text_col).withColumn(
+        "_did", F.xxhash64(F.col(id_col))
+    )
+    sig = sig.persist()
+    try:
+        banded = sig.select(
+            F.col("_did"),
+            F.col("minhash"),
+            F.posexplode(udfs.lsh_bands_col(F.col("minhash"), bands)).alias(
+                "band_idx", "band_hash"
+            ),
+        )
+        from pyspark.errors import AnalysisException
+
+        try:
+            # prior epochs ONLY (partition-pruned): a retried epoch must
+            # not see its own partial previous attempt (it would drop
+            # every incoming doc as a self-duplicate), and the epoch-N
+            # overwrite below must never touch files this read plan
+            # still references (lazy plans re-evaluate per write)
+            index = spark.read.parquet(index_dir).where(
+                F.col("_epoch") < F.lit(int(epoch_id))
+            )
+            sigs = spark.read.parquet(sigs_dir).where(
+                F.col("_epoch") < F.lit(int(epoch_id))
+            )
+            # all (incoming, indexed) band collisions, deduped at PAIR
+            # granularity; the similarity verify runs per pair and only
+            # then collapses to per-_did (ADVICE r2: collapsing first
+            # checked one arbitrary candidate and silently lost recall)
+            pairs = (
+                banded.join(index, ["band_idx", "band_hash"])
+                .select("_did", "minhash", "idx_did")
+                .dropDuplicates(["_did", "idx_did"])
+                .join(sigs.select("idx_did", F.col("minhash").alias("mh2")),
+                      "idx_did")
+            )
+            est = (
+                F.size(
+                    F.filter(
+                        F.zip_with(
+                            F.col("minhash"), F.col("mh2"), lambda a, b: a == b
+                        ),
+                        lambda x: x,
+                    )
+                ).cast("double")
+                / F.lit(float(NUM_PERM))
+            )
+            hist_dups = (
+                pairs.where(F.round(est, 4) >= threshold)
+                .select("_did")
+                .distinct()
+            )
+        except AnalysisException as exc:
+            # only the first batch (index table not created yet) may
+            # pass — anything else is a real failure
+            if "PATH_NOT_FOUND" not in str(exc) and "unable to infer schema" not in str(exc).lower():
+                raise
+            hist_dups = sig.select("_did").limit(0)
+        # within-batch near-dups (keep-first)
+        batch_pairs = minhash_lsh_pairs(
+            sig.select(F.col("_did").alias("doc_id"), text_col),
+            text_col, "doc_id", threshold=threshold, bands=bands,
+        )
+        batch_losers = batch_pairs.select(F.col("id2").alias("_did")).distinct()
+        losers = hist_dups.union(batch_losers).distinct()
+        kept = sig.join(losers, "_did", "left_anti").withColumn(
+            "_epoch", F.lit(int(epoch_id))
+        )
+        # materialise once: the three writes below would otherwise each
+        # re-run the band joins + verify
+        kept = kept.persist()
+        kept.count()
+        (
+            kept.drop("_did", "minhash")
+            .write.mode("overwrite")
+            .partitionBy("_epoch")
+            .parquet(out_dir)
+        )
+        (
+            kept.select(
+                F.col("_epoch"),
+                F.posexplode(udfs.lsh_bands_col(F.col("minhash"), bands)).alias(
+                    "band_idx", "band_hash"
+                ),
+                F.col("_did").alias("idx_did"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("_epoch", "band_idx")
+            .parquet(index_dir)
+        )
+        (
+            kept.select(
+                F.col("_epoch"),
+                F.col("_did").alias("idx_did"),
+                F.col("minhash"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("_epoch")
+            .parquet(sigs_dir)
+        )
+        kept.unpersist()
+    finally:
+        sig.unpersist()
+
 
 
 def compact_near_dup_index(spark, index_dir: str, sigs_dir: str | None = None):
