@@ -301,3 +301,34 @@ def test_repetition_signals_semantics(spark):
     assert got[3] == (0.0, 0.0)
     assert got[4] == (0.0, 0.0)
     assert got[5] == (round(2 / 3, 6), 1.0)
+
+
+def test_fast_scorers_bit_identical_to_scalar_kernel():
+    """The numpy twins (FastNgramScorer / FastBigramScorer) must equal the
+    scalar kernel BIT-FOR-BIT — tuple equality includes the conf/ppl
+    doubles. Cumsum's sequential fold is what makes this exact; a pairwise
+    .sum() would fail this test."""
+    import random
+
+    model = langid.get_model()
+    fast = langid.get_fast_scorer()
+    slm = lm.get_lm()
+    flm = lm.get_fast_lm()
+
+    random.seed(11)
+    vocab = (
+        "the la el der de and est zorro fuchs hond weather pluie lluvia "
+        "regen code function table für número lignes documentatie"
+    ).split()
+    cases = [t for t in EDGE_TEXTS if t is not None]
+    cases += [
+        " ".join(random.choices(vocab, k=random.randint(0, 500)))
+        + (" é的😀" * (i % 4))
+        for i in range(120)
+    ]
+    cases += ["", "a", "xy", "  ", "\x00\x01", "😀" * 50]
+    for t in cases:
+        assert model.score(t) == fast.score(t), repr(t[:60])
+        assert model.score(t, hint="fr") == fast.score(t, hint="fr"), repr(t[:60])
+        assert langid.categories(t) == fast.categories(t), repr(t[:60])
+        assert slm.perplexity(t) == flm.perplexity(t), repr(t[:60])

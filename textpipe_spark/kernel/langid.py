@@ -207,7 +207,98 @@ def categories(clean: str) -> dict[str, float]:
     return {lang: round(v / total, 6) for lang, v in exps.items()}
 
 
+class FastNgramScorer:
+    """numpy twin of ``CharNgramModel.score``/``categories`` — BIT-IDENTICAL
+    by construction, not by approximation: it gathers the SAME precomputed
+    ``logp`` doubles in gram order and folds them with ``np.cumsum``
+    (sequential accumulation, exactly Python ``sum``'s addition order —
+    numpy's pairwise ``.sum()`` would round differently), then runs the
+    identical scalar tail (hint add, sort, ``math.exp``). The scalar
+    kernel stays the spec; this is the hot-path evaluation the Arrow UDFs
+    use, and models_parity/flagship_model_parity prove the equality on
+    every driver document.
+
+    Gram lookup is vectorised: text → UTF-32 codepoint array
+    (``np.frombuffer``), 3-gram keys packed into uint64 (codepoints <
+    2^21), ``searchsorted`` into the sorted vocab-key table, one gather
+    per language from the [vocab, lang] logp matrix."""
+
+    def __init__(self, model: CharNgramModel):
+        import numpy as np
+
+        self.model = model
+        self.np = np
+        vocab = sorted(set().union(*[set(d) for d in model.logp.values()]))
+        keys = []
+        for g in vocab:
+            cps = np.frombuffer(g.encode("utf-32-le"), dtype="<u4")
+            keys.append(
+                int(cps[0]) * (1 << 42) + int(cps[1]) * (1 << 21) + int(cps[2])
+            )
+        keys = np.array(keys, dtype=np.uint64)
+        order = np.argsort(keys, kind="stable")
+        self.vkeys = keys[order]
+        vocab_sorted = [vocab[i] for i in order]
+        self.W = np.empty((len(vocab), len(model.langs)))
+        for j, lang in enumerate(model.langs):
+            t, fb = model.logp[lang], model.fallback[lang]
+            self.W[:, j] = [t.get(g, fb) for g in vocab_sorted]
+        self.fb = [model.fallback[lang] for lang in model.langs]
+        self._s42 = np.uint64(1 << 42)
+        self._s21 = np.uint64(1 << 21)
+
+    def _mean_scores(self, clean: str) -> dict[str, float] | None:
+        """{lang: mean logp} — the shared fold; None when < 2 grams."""
+        np = self.np
+        text = f" {(clean or '').lower()} "
+        cps = np.frombuffer(text.encode("utf-32-le"), dtype="<u4")
+        n = len(cps) - NGRAM_N + 1
+        if n < 2:
+            return None
+        a = cps.astype(np.uint64)
+        keys = a[:-2] * self._s42 + a[1:-1] * self._s21 + a[2:]
+        idx = np.minimum(
+            np.searchsorted(self.vkeys, keys), len(self.vkeys) - 1
+        )
+        known = self.vkeys[idx] == keys
+        out = {}
+        for j, lang in enumerate(self.model.langs):
+            vals = np.where(known, self.W[idx, j], self.fb[j])
+            out[lang] = float(np.cumsum(vals)[-1]) / n
+        return out
+
+    def score(self, clean: str, hint: str | None = None) -> tuple[str, float, bool]:
+        scores = self._mean_scores(clean)
+        if scores is None:
+            return UNKNOWN, 0.0, False
+        if hint in scores:
+            scores[hint] += 0.05
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        best, top = ranked[0]
+        margin = top - ranked[1][1]
+        conf = 1.0 - math.exp(-margin * 20.0)
+        return best, conf, margin > 0.01
+
+    def categories(self, clean: str) -> dict[str, float]:
+        scores = self._mean_scores(clean)
+        if scores is None:
+            return {}
+        mx = max(scores.values())
+        exps = {lang: math.exp((s - mx) * 20.0) for lang, s in scores.items()}
+        total = sum(exps.values())
+        return {lang: round(v / total, 6) for lang, v in exps.items()}
+
+
 _MODEL: CharNgramModel | None = None
+_FAST: FastNgramScorer | None = None
+
+
+def get_fast_scorer() -> FastNgramScorer:
+    """Per-process singleton of the numpy twin (built over ``get_model``)."""
+    global _FAST
+    if _FAST is None:
+        _FAST = FastNgramScorer(get_model())
+    return _FAST
 
 
 LANGID_ARTIFACT = "langid_model.json"

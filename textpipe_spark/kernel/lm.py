@@ -95,7 +95,66 @@ class BigramLM:
         return cls(Counter(d["unigrams"]), bi, d["v"])
 
 
+class FastBigramScorer:
+    """numpy twin of ``BigramLM.perplexity`` — bit-identical by
+    construction: every reachable ``logp(prev, word)`` double is
+    precomputed ONCE with the scalar kernel's own ``math.log`` into a
+    dense [prev, word] matrix (vocab ∪ {BOS, OOV} rows × vocab ∪ {OOV}
+    columns — all OOV words share one column because ``bigrams.get`` is 0
+    and ``unigrams.get(prev)`` doesn't depend on the word), then each
+    document gathers its token-id path and folds with ``np.cumsum``
+    (sequential, Python-sum order). Scalar kernel stays the spec;
+    models_parity/flagship_model_parity prove equality per document."""
+
+    def __init__(self, lm: BigramLM):
+        import numpy as np
+
+        self.np = np
+        self.lm = lm
+        words = sorted(w for w in lm.unigrams if w != BOS)
+        self.word_id = {w: i for i, w in enumerate(words)}
+        self.oov = len(words)
+        self.bos = len(words) + 1
+        n_prev = len(words) + 2   # vocab, OOV, BOS
+        n_word = len(words) + 1   # vocab, OOV
+        M = np.empty((n_prev, n_word))
+        prevs = words + [None, BOS]  # None = OOV prev (never in unigrams)
+        for pi, prev in enumerate(prevs):
+            for wi, w in enumerate(words + [None]):
+                M[pi, wi] = lm.logp(
+                    prev if prev is not None else "\x00oov",
+                    w if w is not None else "\x00oov",
+                )
+        self.M = M
+
+    def perplexity(self, text: str) -> float:
+        np = self.np
+        toks = tokens_lower(text)
+        if not toks:
+            return BigramLM.PPL_CAP
+        gid = self.word_id
+        oov = self.oov
+        ids = np.fromiter(
+            (gid.get(t, oov) for t in toks), dtype=np.int64, count=len(toks)
+        )
+        prev_ids = np.empty(len(ids), dtype=np.int64)
+        prev_ids[0] = self.bos
+        prev_ids[1:] = ids[:-1]
+        total = float(np.cumsum(self.M[prev_ids, ids])[-1])
+        return min(math.exp(-total / len(toks)), BigramLM.PPL_CAP)
+
+
 _LM: BigramLM | None = None
+_FAST_LM: FastBigramScorer | None = None
+
+
+def get_fast_lm() -> FastBigramScorer:
+    """Per-process singleton of the numpy twin (built over ``get_lm``)."""
+    global _FAST_LM
+    if _FAST_LM is None:
+        _FAST_LM = FastBigramScorer(get_lm())
+    return _FAST_LM
+
 
 LM_ARTIFACT = "bigram_lm.json"
 

@@ -36,14 +36,17 @@ LANGID_SCHEMA = T.StructType(
 
 @F.pandas_udf(LANGID_SCHEMA)
 def langid_model_udf(clean: pd.Series) -> pd.DataFrame:
-    model = klangid.get_model()  # worker singleton — load once per process
+    # worker singleton — the numpy twin of CharNgramModel.score, proven
+    # bit-identical to the scalar kernel (kernel.langid.FastNgramScorer
+    # docstring; models_parity is the driver-visible gate)
+    model = klangid.get_fast_scorer()
     rows = [model.score(t or "") for t in clean]
     return pd.DataFrame(rows, columns=["lang", "conf", "reliable"])
 
 
 @F.pandas_udf(T.DoubleType())
 def perplexity_udf(clean: pd.Series) -> pd.Series:
-    lm = klm.get_lm()  # cap lives in the kernel (BigramLM.PPL_CAP)
+    lm = klm.get_fast_lm()  # cap lives in the kernel (BigramLM.PPL_CAP)
     return pd.Series([lm.perplexity(t or "") for t in clean], dtype="float64")
 
 
@@ -199,7 +202,7 @@ def make_categories_udf(head_fn=None):
     default embedded char-n-gram head. The callable must be importable/
     picklable on workers; heavier models follow the worker-singleton
     pattern (load once inside head_fn via kernel.artifacts)."""
-    fn = head_fn or (lambda t: klangid.categories(t))
+    fn = head_fn or (lambda t: klangid.get_fast_scorer().categories(t))
 
     @F.pandas_udf(T.MapType(T.StringType(), T.DoubleType()))
     def _categories_udf(clean: pd.Series) -> pd.Series:
