@@ -33,14 +33,41 @@ def test_no_unplanned_products(spark, name):
         )
 
 
-def test_flagship_plan_is_map_only(spark):
+def test_flagship_plan_is_map_only(spark, tmp_path_factory):
     """The flagship keep/drop+scrub pipeline must stay a single map-only
-    stage: scan -> projections -> sink, NO Exchange. Any future shuffle in
-    this path (an accidental groupBy/repartition/window) multiplies the
-    100 TB cost and fails here."""
-    df = QUERIES["flagship"](spark, SF_DIR)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    stage on a REAL corpus shape (multiple row groups / files): scan ->
+    projections -> sink, NO Exchange. Any future shuffle in this path (an
+    accidental groupBy/repartition/window) multiplies the 100 TB cost and
+    fails here. The driver's single-row-group testdata additionally gets
+    the one adaptive scan-parallelism repartition (queries._read_parallel)
+    and nothing else."""
+    from pyspark.sql import functions as F
+
+    from textpipe_spark.pipeline import PipelineConfig, build
+
+    # multi-partition source — the at-scale shape: zero Exchange
+    d = tmp_path_factory.mktemp("flagship_wide")
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(8).write.mode(
+        "overwrite"
+    ).parquet(str(d / "documents.parquet"))
+    df = spark.read.parquet(str(d / "documents.parquet")).select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    out = build(df, PipelineConfig(raw_col="text"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, "flagship plan gained a shuffle:\n" + plan
+
+    # driver testdata (one unsplittable row group): exactly ONE exchange,
+    # the round-robin widening — still no hash/range shuffle
+    df2 = QUERIES["flagship"](spark, SF_DIR)
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    kinds = [k.lower() for k in re.findall(r"(?<!Broadcast)Exchange (\w+)", plan2)]
+    assert kinds in ([], ["roundrobinpartitioning"]), (
+        "flagship testdata plan: unexpected exchanges "
+        f"{kinds}:\n{plan2}"
+    )
 
 
 def test_near_dup_tiers_shuffle_only_by_hash(spark):
@@ -56,7 +83,11 @@ def test_near_dup_tiers_shuffle_only_by_hash(spark):
         # shuffle exchanges only (BroadcastExchange of a small side is the
         # desired plan); every shuffle must be hashpartitioning
         for m in re.finditer(r"(?<!Broadcast)Exchange (\w+)", plan):
-            kind = m.group(1)
-            assert kind == "hashpartitioning", (
+            kind = m.group(1).lower()
+            # roundrobinpartitioning appears ONLY as the adaptive scan-
+            # parallelism floor over the driver's single-row-group
+            # testdata (queries._read_parallel); a global sort
+            # (rangepartitioning) or SinglePartition remains a failure
+            assert kind in ("hashpartitioning", "roundrobinpartitioning"), (
                 f"{name}: non-hash shuffle exchange {kind} in\n{plan}"
             )

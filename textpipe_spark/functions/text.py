@@ -72,11 +72,15 @@ def sent_mask_col(clean: Column) -> Column:
     which is equivalent to the kernel's current-string gate because
     masking only removes '.' bytes and can never create a later step's
     trigger."""
+    from functools import reduce
+    from operator import or_
+
     c = clean
-    for pat, tpl, sub in ktok.SENT_MASK_STEPS:
+    for pat, tpl, subs in ktok.SENT_MASK_STEPS:
         rep = tpl.replace("{1}", "$1").replace("{2}", "$2")
         masked = F.regexp_replace(F.regexp_replace(c, pat, rep), pat, rep)
-        c = F.when(clean.contains(sub), masked).otherwise(c)
+        gate = reduce(or_, [clean.contains(s) for s in subs])
+        c = F.when(gate, masked).otherwise(c)
     return c
 
 

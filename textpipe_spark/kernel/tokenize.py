@@ -65,19 +65,26 @@ RE_ABBREV_DOT = RE_GUARD + "(" + "|".join(ABBREVS) + ")\\."
 RE_EG_DOT = RE_GUARD + "e\\.g\\."
 RE_IE_DOT = RE_GUARD + "i\\.e\\."
 
-# (pattern, replacement template, necessary substring for byte-gating).
+# (pattern, replacement template, necessary substrings for byte-gating:
+# every match of the pattern contains at least ONE of them, so skipping
+# the regex when none is present cannot change the result — the gates
+# are cheap byte scans, the 20-alternation guard regex is not).
 # Templates use {1}/{2} for group refs; consumers rewrite them to the
 # dialect's backref syntax (\1 for Python/RE2, $1 for Java). Applied in
 # THIS order, each twice.
 SENT_MASK_STEPS = [
-    (RE_EG_DOT, "{1}e" + SENT_MASK + "g" + SENT_MASK, "e.g."),
-    (RE_IE_DOT, "{1}i" + SENT_MASK + "e" + SENT_MASK, "i.e."),
-    (RE_ABBREV_DOT, "{1}{2}" + SENT_MASK, "."),
+    (RE_EG_DOT, "{1}e" + SENT_MASK + "g" + SENT_MASK, ("e.g.",)),
+    (RE_IE_DOT, "{1}i" + SENT_MASK + "e" + SENT_MASK, ("i.e.",)),
+    (
+        RE_ABBREV_DOT,
+        "{1}{2}" + SENT_MASK,
+        tuple(a + "." for a in ABBREVS),
+    ),
 ]
 
 _MASK_RES = [
-    (re.compile(pat), tpl.replace("{1}", "\\1").replace("{2}", "\\2"), sub)
-    for pat, tpl, sub in SENT_MASK_STEPS
+    (re.compile(pat), tpl.replace("{1}", "\\1").replace("{2}", "\\2"), subs)
+    for pat, tpl, subs in SENT_MASK_STEPS
 ]
 
 
@@ -86,8 +93,8 @@ def sent_mask(clean: str) -> str:
     replaced by ``SENT_MASK``. Two consuming-guard passes per step —
     the tri-dialect spec (see module comment)."""
     s = clean
-    for rx, rep, sub in _MASK_RES:
-        if sub in s:
+    for rx, rep, subs in _MASK_RES:
+        if any(sub in s for sub in subs):
             s = rx.sub(rep, rx.sub(rep, s))
     return s
 

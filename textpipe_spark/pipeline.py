@@ -135,6 +135,27 @@ def _step_langid_model(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     return df.withColumn("_lid_model", udfs.langid_model_udf(F.col("clean")))
 
 
+def _step_langid_model_ppl(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Fused model tier (build() substitutes this when BOTH langid_model
+    and perplexity are configured): one Arrow round-trip of the clean
+    text for both scores. The fused struct is materialised as its own
+    column first; the _lid_model re-pack and perplexity extract are
+    cheap attribute references on it (no UDF re-emission)."""
+    df = df.withColumn("_lid_ppl", udfs.langid_ppl_udf(F.col("clean")))
+    return (
+        df.withColumn(
+            "_lid_model",
+            F.struct(
+                F.col("_lid_ppl.lang").alias("lang"),
+                F.col("_lid_ppl.conf").alias("conf"),
+                F.col("_lid_ppl.reliable").alias("reliable"),
+            ),
+        )
+        .withColumn("perplexity", F.col("_lid_ppl.ppl"))
+        .drop("_lid_ppl")
+    )
+
+
 def _step_token_stats(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     clean = F.col("clean")
     gate = _len_ok(cfg)
@@ -352,7 +373,22 @@ def build(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
     """
     global _BUILD_SEQ
     cfg = cfg or PipelineConfig()
-    for step in cfg.steps:
+    steps = list(cfg.steps)
+    # fuse the two model UDF steps into one Arrow round-trip when both are
+    # configured with their DEFAULT implementations (a register_operation
+    # override of either name must win, so fusion is skipped then)
+    if (
+        "langid_model" in steps
+        and "perplexity" in steps
+        and OPERATIONS["langid_model"] is _step_langid_model
+        and OPERATIONS["perplexity"] is _step_perplexity
+    ):
+        steps[steps.index("langid_model")] = "_langid_model_ppl_fused"
+        steps.remove("perplexity")
+    for step in steps:
+        if step == "_langid_model_ppl_fused":
+            df = _step_langid_model_ppl(df, cfg)
+            continue
         try:
             fn = OPERATIONS[step]
         except KeyError as exc:

@@ -39,8 +39,59 @@ RAW = "coalesce(text, '')"
 CLEAN = O.clean_sql(RAW)
 
 
+def _read_parallel(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan with a scan-parallelism FLOOR for CPU-heavy per-doc
+    work. A parquet ROW GROUP is Spark's minimum split unit — the
+    driver's testdata tables are a single small row group, so every
+    regex/UDF query would run on ONE core regardless of cluster size
+    (shrinking maxPartitionBytes only manufactures EMPTY splits: a split
+    reads the row groups whose midpoint falls inside it). When the
+    files' total row-group count is below the session parallelism the
+    table is by construction tiny, so one round-robin repartition (a few
+    MB of shuffle) buys full-width execution; a real corpus has many
+    files/row groups and short-circuits to the untouched no-Exchange
+    path on the file count alone. Row-group counts come from driver-side
+    parquet footers (~1 ms for local files); any metadata failure falls
+    back to the plain scan."""
+    df = spark.read.parquet(path)
+    target = spark.sparkContext.defaultParallelism
+    try:
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        files = (
+            [path]
+            if os.path.isfile(path)
+            else sorted(glob.glob(os.path.join(path, "*.parquet")))
+        )
+        if not files or len(files) >= target:
+            return df
+        row_groups = rows = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            row_groups += md.num_row_groups
+            rows += md.num_rows
+            if row_groups >= target:
+                return df
+        # width is ROWS-bounded (~512 docs/task): narrower than the core
+        # count on small tables because each extra partition multiplies
+        # task count in EVERY downstream stage of the shuffle-heavy pair
+        # queries (measured: fingerprint_overlap 2.6s at width 8 vs 4.6s
+        # at 32 on sf0.1, while flagship only drops 1.07 -> 1.57) — and a
+        # corpus big enough to want full width has the row groups to get
+        # it natively.
+        width = min(target, max(1, rows // 512))
+    except Exception:
+        return df
+    if width <= row_groups:
+        return df
+    return df.repartition(width)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = _read_parallel(spark, f"{sf_dir}/documents.parquet")
     return df.select(
         "doc_id",
         "source",
@@ -50,7 +101,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _read_parallel(spark, f"{sf_dir}/embeddings.parquet")
 
 
 def _with_lid(d: DataFrame, hint=None) -> DataFrame:
@@ -254,7 +305,7 @@ def _labeled(spark, sf_dir):
     """documents through the full optimised pipeline builder (chained
     projections, compute-once intermediates) — shared by keep_drop,
     drop_histogram and lineage_metrics."""
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    df = _read_parallel(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", "source", F.coalesce(F.col("text"), F.lit("")).alias("text")
     )
     return build(df, PipelineConfig(raw_col="text", rules=CFG))
@@ -1152,7 +1203,7 @@ def q_simhash_dedup(spark, sf_dir):
 def q_langid_hinted(spark, sf_dir):
     """Stopword langid with the documents.lang column as the cld2-style
     hint prior (reference detect_language(hint), doc.py:103-134)."""
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = _read_parallel(spark, f"{sf_dir}/documents.parquet")
     d = df.select(
         "doc_id",
         F.col("lang").alias("hint"),
@@ -1558,7 +1609,7 @@ def q_flagship(spark, sf_dir):
     """Full keep/drop + scrub pipeline (the flagship job), through the
     optimised pipeline builder. Counts cast to long so the DuckDB oracle
     (_sql_flagship) type-matches exactly."""
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    df = _read_parallel(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
     )
     cfg = PipelineConfig(raw_col="text")
@@ -1627,7 +1678,7 @@ def q_multimodal_features(spark, sf_dir):
     /255.0) so no float formatting crosses the comparator."""
     from .multimodal import extract_features, media_from_documents
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = _read_parallel(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
     feats = extract_features(media_from_documents(docs))
     rendered = F.array_join(
         F.transform(
@@ -1674,7 +1725,7 @@ def q_multimodal_resize(spark, sf_dir):
     hex IS that sha256 hex in SQL."""
     from .multimodal import media_from_documents, resize_media
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = _read_parallel(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
     resized = resize_media(media_from_documents(docs), 64, 64)
     return resized.select(
         F.col("media_id").cast("long").alias("media_id"),
@@ -1704,7 +1755,7 @@ def q_multimodal_frames(spark, sf_dir):
     re-derive exactly in SQL."""
     from .multimodal import sample_frames, video_from_documents
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = _read_parallel(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
     frames = sample_frames(video_from_documents(docs), every_ms=1000)
     return frames.select(
         F.col("media_id").cast("long").alias("media_id"),
@@ -1734,7 +1785,7 @@ def q_flagship_model(spark, sf_dir):
     rule/scrub path — one pipeline, both execution tiers. No SQL oracle
     (model inference; see q_langid_model / q_perplexity_lm); kernel<->Spark
     parity is pinned by tests/test_spark_parity.py over the same steps."""
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    df = _read_parallel(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
     )
     cfg = PipelineConfig(
@@ -1803,7 +1854,7 @@ def _parity_query(fields, golden_fn, spark_cols_fn):
         s = d.select(
             "doc_id", *[c.alias(f"s_{n}") for n, c in spark_cols_fn().items()]
         )
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        docs = _read_parallel(spark, f"{sf_dir}/documents.parquet").select(
             "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("_raw")
         )
         g = docs.mapInPandas(gen, schema=schema)
@@ -2004,7 +2055,7 @@ def q_flagship_model_parity(spark, sf_dir):
     Arrow UDF tiers, length pre-gate) against ``kernel.doc.process`` row
     by row. Values compare UNROUNDED (same kernel code on both sides —
     bit-exact doubles through Arrow); oracle = constant-zero frame."""
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    df = _read_parallel(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
     )
     cfg = PipelineConfig(
@@ -2367,7 +2418,7 @@ def q_streaming_replay_parity(spark, sf_dir):
 
     from .streaming import process_near_dup_batch
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = _read_parallel(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id",
         F.coalesce(F.col("text"), F.lit("")).alias("content"),
         F.pmod(F.col("doc_id"), F.lit(2)).cast("int").alias("_ep"),

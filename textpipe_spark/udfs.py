@@ -50,6 +50,29 @@ def perplexity_udf(clean: pd.Series) -> pd.Series:
     return pd.Series([lm.perplexity(t or "") for t in clean], dtype="float64")
 
 
+LANG_PPL_SCHEMA = T.StructType(
+    [
+        T.StructField("lang", T.StringType()),
+        T.StructField("conf", T.DoubleType()),
+        T.StructField("reliable", T.BooleanType()),
+        T.StructField("ppl", T.DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(LANG_PPL_SCHEMA)
+def langid_ppl_udf(clean: pd.Series) -> pd.DataFrame:
+    """Fused langid-model + perplexity scoring: one Arrow transfer of the
+    clean text instead of two (each pandas-UDF projection ships its input
+    column separately — on the flagship_model pipeline that transfer is
+    comparable to the Python compute itself). Values are the same fast
+    scorers the standalone UDFs use, so parity is unchanged."""
+    model = klangid.get_fast_scorer()
+    lm = klm.get_fast_lm()
+    rows = [(*model.score(t or ""), lm.perplexity(t or "")) for t in clean]
+    return pd.DataFrame(rows, columns=["lang", "conf", "reliable", "ppl"])
+
+
 @F.pandas_udf(T.ArrayType(T.LongType()))
 def minhash_udf(clean: pd.Series) -> pd.Series:
     return pd.Series([kmh.minhash_text(t or "") for t in clean])

@@ -153,13 +153,17 @@ a quiet window.
 (gate: >= 0.8 per BASELINE.json; sandbox proxy for N vs 4N executor
 clusters per the driver instruction — no real cluster available here.)
 
-Both level pairs stay inside the host's 32 cores so the measured ratio
-reflects the JOB's scalability rather than host saturation: the pipeline
-is embarrassingly parallel (no shuffle), but saturating every host core
-with JVM mutator threads makes GC/memory contention the limiter
-(8 -> 32 cores measured ~0.6-0.7 on this box) — on a real multi-host
-cluster each executor owns a slice of a host, which the within-host
-levels model. All walls (s) and steal deltas per level:
+**Reading the two pairs.** Per-core throughput is flat across the
+2/4/8-thread levels and drops only at the 16-thread level — the knee is
+the HOST, not the job, attributed by the heap probe (local[16] at 8g vs
+20g heap identical — not GC-capacity-bound) and the two-JVM probe
+(tools/probe_two_jvm.py; data inline in BENCH/scaling.json
+"two_jvm_probe"): two CONCURRENT local[8] JVMs degrade per-core exactly
+like one local[16] while steal accounting jumps, with the job's shape
+inside each JVM unchanged — hypervisor-level throttling above ~8 busy
+vCPUs. A real N vs 4N executor cluster adds HOSTS (each executor owns
+its slice of an unshared machine) — the condition the 2/8 pair models
+and the probe isolates. All walls (s) and steal deltas per level:
 {json.dumps({f"local[{c}]": {"walls": results[c]["walls"], "steal": steals[c]} for c in cores_set}, indent=2)}
 
 Correctness context: Spark output is row-for-row sha256-identical to the
@@ -179,18 +183,21 @@ DuckDB oracle (tools/verify_oracle.py).
             tail = old[idx:]
     with open(out_path, "w") as fh:
         fh.write(md + tail)
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as fh:
-        json.dump(
-            {
-                "n_files": n_rows,
-                "levels": cores_set,
-                "results": results,
-                "pairs": pair_rows,
-                "efficiency": pair_rows[0]["efficiency"],
-            },
-            fh,
-            indent=2,
-        )
+    scaling_path = os.path.join(REPO, "BENCH", "scaling.json")
+    payload = {
+        "n_files": n_rows,
+        "levels": cores_set,
+        "results": results,
+        "pairs": pair_rows,
+        "efficiency": pair_rows[0]["efficiency"],
+    }
+    # carry the two-JVM probe attribution data (tools/probe_two_jvm.py)
+    if os.path.exists(scaling_path):
+        old = json.load(open(scaling_path))
+        if "two_jvm_probe" in old:
+            payload["two_jvm_probe"] = old["two_jvm_probe"]
+    with open(scaling_path, "w") as fh:
+        json.dump(payload, fh, indent=2)
     print(f"wrote {out_path}")
 
 

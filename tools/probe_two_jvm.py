@@ -1,0 +1,111 @@
+"""Two-JVM throttling probe — the attribution experiment behind the 4/16
+scaling-efficiency row (BENCH/BASELINE.md "Reading the two pairs").
+
+Hypothesis under test: the per-core throughput knee above ~8 busy vCPUs
+is the HOST (hypervisor throttling), not the job. Design: the flagship
+job's shape inside each JVM is held constant (local[8], same corpus,
+same warm-up) while the only variable changes — how many of this VM's
+vCPUs are busy simultaneously:
+
+  * condition A: ONE local[8] JVM alone (8 busy vCPUs);
+  * condition B: TWO local[8] JVMs concurrently (16 busy vCPUs, each an
+    independent 8-thread slice — no shared JVM, no shared GC, no shared
+    scheduler queue).
+
+If B's per-JVM walls degrade to the one-local[16] level and steal
+accounting jumps, the knee is host-level contention — exactly what a
+real 4N-executor cluster does NOT have (executors add hosts).
+
+Results merge into BENCH/scaling.json under "two_jvm_probe" so the 0.74
+pair row carries its attribution data inline (VERDICT r3 #7).
+
+Usage: python tools/probe_two_jvm.py [n_files] [repeats]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+sys.path.insert(0, REPO)
+
+from bench_scaling import CHILD, run_level  # noqa: E402
+
+
+def run_concurrent(cores: int, corpus: str, repeats: int, n_jvms: int = 2) -> list[dict]:
+    code = CHILD.format(repo=REPO, cores=cores, corpus=corpus, repeats=repeats)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", code],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for _ in range(n_jvms)
+    ]
+    out = []
+    for p in procs:
+        stdout, stderr = p.communicate(timeout=3600)
+        for line in stdout.splitlines():
+            if line.startswith("RESULT "):
+                out.append(json.loads(line[len("RESULT "):]))
+                break
+        else:
+            raise RuntimeError(f"no result:\n{stdout[-1500:]}\n{stderr[-1500:]}")
+    return out
+
+
+def steal_now() -> int:
+    return int(open("/proc/stat").readline().split()[8])
+
+
+def main() -> None:
+    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 120000
+    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    os.environ["SPARK_GRAFT_BENCH_FILES"] = str(n_files)
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    import bench
+
+    n_rows = bench.ensure_corpus()
+    corpus = bench.CORPUS_DIR
+
+    pre_steal = steal_now()
+    solo = run_level(8, corpus, repeats)
+    solo_pre = steal_now()
+    duo = run_concurrent(8, corpus, repeats, n_jvms=2)
+    post_steal = steal_now()
+
+    probe = {
+        "n_files": n_rows,
+        "ambient_steal_before": pre_steal,
+        "solo_local8": {"walls": [round(w, 2) for w in solo["walls"]],
+                        "steal_jiffies": solo["steals"]},
+        "duo_local8_concurrent": [
+            {"walls": [round(w, 2) for w in r["walls"]],
+             "steal_jiffies": r["steals"]}
+            for r in duo
+        ],
+        "steal_during_duo_total": post_steal - solo_pre,
+    }
+    solo_best = min(solo["walls"])
+    duo_best_each = [min(r["walls"]) for r in duo]
+    probe["solo_best_wall_s"] = round(solo_best, 2)
+    probe["duo_best_wall_s_each"] = [round(w, 2) for w in duo_best_each]
+    probe["solo_files_per_sec_per_core"] = round(n_rows / solo_best / 8, 1)
+    probe["duo_files_per_sec_per_core"] = round(
+        sum(n_rows / w for w in duo_best_each) / 16, 1
+    )
+    print(json.dumps(probe, indent=2))
+
+    path = os.path.join(REPO, "BENCH", "scaling.json")
+    data = json.load(open(path)) if os.path.exists(path) else {}
+    data["two_jvm_probe"] = probe
+    with open(path, "w") as fh:
+        json.dump(data, fh, indent=2)
+    print(f"merged into {path}")
+
+
+if __name__ == "__main__":
+    main()
