@@ -133,3 +133,45 @@ def test_entities_adjacent_two_pass(spark):
     )
     oracle = dict(con.sql(SQL_ENTITIES).fetchall())
     assert oracle == got  # engines agree span-for-span
+
+
+def test_stopword_union_prefilter_exact(spark):
+    """The union-InSet prefilter (functions/text.stopword_hits_from_words)
+    must yield identical per-language counts to counting over the full
+    token array — subset property made executable, incl. tokens shared
+    between languages ('de' is Dutch AND appears in French text)."""
+    from pyspark.sql import functions as F
+
+    from textpipe_spark.functions import text as X
+    from textpipe_spark.kernel import langid as klangid
+
+    texts = [
+        "the cat and the dog that was in the house for a while",
+        "de hond is niet met de kat en het is een probleem",
+        "le chat est sur la table de la maison",
+        "xyzzy qwerty nothing matches here",
+        "",
+        "THE AND OF DE LA EL DER HET",  # case-insensitivity via lower
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, clean string"
+    ).withColumn("_words", X.words_col(F.col("clean")))
+    full = df.select(
+        "i",
+        *[
+            X.stopword_count_from_tokens(
+                X.tokens_lower_from_words(F.col("_words")), lg
+            ).alias(lg)
+            for lg in klangid.LANG_ORDER
+        ],
+    )
+    fast = df.select(
+        "i",
+        *[
+            X.stopword_count_from_tokens(
+                X.stopword_hits_from_words(F.col("_words")), lg
+            ).alias(lg)
+            for lg in klangid.LANG_ORDER
+        ],
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, fast.collect()))

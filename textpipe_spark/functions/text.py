@@ -191,6 +191,23 @@ def stopword_count_from_tokens(toks: Column, lang: str) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*ws)))
 
 
+_SW_UNION = tuple(sorted({w for ws in klangid.STOPWORDS.values() for w in ws}))
+
+
+def stopword_hits_from_words(words: Column) -> Column:
+    """Tokens lowered and pre-filtered to the UNION stopword vocabulary in
+    one pass. The union list (~50 literals) is past Spark's In->InSet
+    conversion threshold, so membership is one hash-set probe per token —
+    where the five per-language 10-literal lists each stay a linear
+    ``In``. Counting per language then traverses the tiny hits array
+    (typically 0-50 elements) instead of the full token array five times.
+    Exact: every language set is a subset of the union, so
+    count(filter(union) ∩ lang) == count(lang)."""
+    return F.filter(
+        tokens_lower_from_words(words), lambda t: t.isin(*_SW_UNION)
+    )
+
+
 def stopword_count_col(clean: Column, lang: str) -> Column:
     return stopword_count_from_tokens(tokens_lower_col(clean), lang)
 

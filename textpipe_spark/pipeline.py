@@ -111,14 +111,16 @@ def _step_langid(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
     from .kernel import langid as klangid
 
     df = _ensure_words(df)
+    # one lower+union-InSet pass shrinks the array the five per-language
+    # counts traverse (functions/text.stopword_hits_from_words)
     df = df.withColumn(
-        "_sw_toks", X.tokens_lower_from_words(F.col("_words"))
+        "_sw_hits", X.stopword_hits_from_words(F.col("_words"))
     )
     counts = {
-        f"_sw_{lg}": X.stopword_count_from_tokens(F.col("_sw_toks"), lg)
+        f"_sw_{lg}": X.stopword_count_from_tokens(F.col("_sw_hits"), lg)
         for lg in klangid.LANG_ORDER
     }
-    df = df.withColumns(counts).drop("_sw_toks")
+    df = df.withColumns(counts).drop("_sw_hits")
     hint = F.col(cfg.hint_lang_col) if cfg.hint_lang_col else None
     cnt_cols = {lg: F.col(f"_sw_{lg}") for lg in klangid.LANG_ORDER}
     if hint is not None:

@@ -111,12 +111,14 @@ def _with_lid(d: DataFrame, hint=None) -> DataFrame:
     ``X.langid_struct_col`` inlines every count expression ~7x into the
     argmax/greatest/sort tree (CASE disables CSE) — measured 4x slower on
     the standalone langid query."""
-    d = d.withColumn("_sw_toks", X.tokens_lower_col(F.col("clean")))
+    d = d.withColumn(
+        "_sw_hits", X.stopword_hits_from_words(X.words_col(F.col("clean")))
+    )
     counts = {
-        f"_sw_{lg}": X.stopword_count_from_tokens(F.col("_sw_toks"), lg)
+        f"_sw_{lg}": X.stopword_count_from_tokens(F.col("_sw_hits"), lg)
         for lg in klangid.LANG_ORDER
     }
-    d = d.withColumns(counts).drop("_sw_toks")
+    d = d.withColumns(counts).drop("_sw_hits")
     cnt_cols = {lg: F.col(f"_sw_{lg}") for lg in klangid.LANG_ORDER}
     if hint is not None:
         cnt_cols = {

@@ -154,16 +154,20 @@ a quiet window.
 clusters per the driver instruction — no real cluster available here.)
 
 **Reading the two pairs.** Per-core throughput is flat across the
-2/4/8-thread levels and drops only at the 16-thread level — the knee is
-the HOST, not the job, attributed by the heap probe (local[16] at 8g vs
-20g heap identical — not GC-capacity-bound) and the two-JVM probe
+2/4/8-thread levels and drops only at the 16-thread level. The knee is
+SINGLE-PROCESS-internal, not the job: the interleaved quiet-window probe
 (tools/probe_two_jvm.py; data inline in BENCH/scaling.json
-"two_jvm_probe"): two CONCURRENT local[8] JVMs degrade per-core exactly
-like one local[16] while steal accounting jumps, with the job's shape
-inside each JVM unchanged — hypervisor-level throttling above ~8 busy
-vCPUs. A real N vs 4N executor cluster adds HOSTS (each executor owns
-its slice of an unshared machine) — the condition the 2/8 pair models
-and the probe isolates. All walls (s) and steal deltas per level:
+"two_jvm_probe") runs TWO concurrent local[8] JVMs — 16 busy vCPUs, the
+multi-executor model — at per-core parity with one local[8] alone
+(8->16-core two-JVM efficiency ~1.01), while ONE local[16] JVM in the
+same window drops ~15% per core; heap 8g vs 20g is identical (r3), so
+it is allocation/memory contention, not GC capacity. A real N vs 4N
+executor cluster adds executor JVMs and hosts — the duo condition, which
+scales flat — so the single-JVM 4/16 row is a lower bound the cluster
+shape does not inherit. (Round-3 windows additionally caught
+intermittent hypervisor throttling above ~8 busy vCPUs — steal jumping
+500-1300 during duo runs; it is host weather, absent in quiet windows.)
+All walls (s) and steal deltas per level:
 {json.dumps({f"local[{c}]": {"walls": results[c]["walls"], "steal": steals[c]} for c in cores_set}, indent=2)}
 
 Correctness context: Spark output is row-for-row sha256-identical to the

@@ -71,31 +71,35 @@ def main() -> None:
     n_rows = bench.ensure_corpus()
     corpus = bench.CORPUS_DIR
 
-    pre_steal = steal_now()
     solo = run_level(8, corpus, repeats)
-    solo_pre = steal_now()
+    one16 = run_level(16, corpus, repeats)
     duo = run_concurrent(8, corpus, repeats, n_jvms=2)
-    post_steal = steal_now()
 
     probe = {
         "n_files": n_rows,
-        "ambient_steal_before": pre_steal,
         "solo_local8": {"walls": [round(w, 2) for w in solo["walls"]],
                         "steal_jiffies": solo["steals"]},
+        "one_local16": {"walls": [round(w, 2) for w in one16["walls"]],
+                        "steal_jiffies": one16["steals"]},
         "duo_local8_concurrent": [
             {"walls": [round(w, 2) for w in r["walls"]],
              "steal_jiffies": r["steals"]}
             for r in duo
         ],
-        "steal_during_duo_total": post_steal - solo_pre,
     }
     solo_best = min(solo["walls"])
     duo_best_each = [min(r["walls"]) for r in duo]
-    probe["solo_best_wall_s"] = round(solo_best, 2)
-    probe["duo_best_wall_s_each"] = [round(w, 2) for w in duo_best_each]
     probe["solo_files_per_sec_per_core"] = round(n_rows / solo_best / 8, 1)
+    probe["one16_files_per_sec_per_core"] = round(
+        n_rows / min(one16["walls"]) / 16, 1
+    )
     probe["duo_files_per_sec_per_core"] = round(
         sum(n_rows / w for w in duo_best_each) / 16, 1
+    )
+    # the multi-executor scaling figure: 16 cores as TWO 8-thread JVMs
+    # (how a real cluster adds capacity) vs 8 cores as one JVM
+    probe["two_jvm_8to16_efficiency"] = round(
+        (sum(n_rows / w for w in duo_best_each) / (n_rows / solo_best)) / 2, 3
     )
     print(json.dumps(probe, indent=2))
 
