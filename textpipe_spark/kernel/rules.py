@@ -74,6 +74,59 @@ def repeated_line_fraction(raw: str) -> float:
     return 1.0 - len(set(lines)) / len(lines)
 
 
+BULLET_CHARS = ("-", "*", "•")
+ELLIPSIS_SUFFIXES = ("...", "…")
+
+
+def _nonempty_lines(raw: str) -> list[str]:
+    lines = [ln.strip(" \t") for ln in raw.split("\n")]
+    return [ln for ln in lines if ln]
+
+
+def gopher_signals(raw: str, clean: str) -> tuple[float, float, float, float]:
+    """Gopher-style document quality signals (Rae et al. 2021 §A1.1,
+    public paper) beyond the word-n-gram repetition pair (see
+    queries.q_repetition_signals):
+
+    * ``dup_line_char_fraction`` — characters inside duplicate-line
+      occurrences beyond the first, over total line characters
+      (non-empty ' \\t'-trimmed lines of RAW, the repeated_line_fraction
+      convention). Computed as (total - Σ len over DISTINCT lines) /
+      total — no per-line counting needed.
+    * ``symbol_word_ratio`` — (count '#' + count non-overlapping '...')
+      in RAW per RE_WORD token of CLEAN (nwords convention).
+    * ``bullet_line_ratio`` — lines starting with '-', '*' or '•'.
+    * ``ellipsis_line_ratio`` — lines ending with '...' or '…'.
+
+    All 0.0 on empty denominators; rounded to 6 decimals by the query
+    tier (Spark HALF_UP — goldens must use queries._round_half_up)."""
+    lines = _nonempty_lines(raw)
+    total_chars = sum(len(ln) for ln in lines)
+    if total_chars:
+        dup_chars = total_chars - sum(len(ln) for ln in set(lines))
+        dup_line_char_fraction = dup_chars / total_chars
+    else:
+        dup_line_char_fraction = 0.0
+    nw = _nwords(clean)
+    symbols = raw.count("#") + raw.count("...")
+    symbol_word_ratio = symbols / nw if nw else 0.0
+    if lines:
+        bullet = sum(1 for ln in lines if ln[0] in BULLET_CHARS)
+        ellipsis = sum(
+            1 for ln in lines if ln.endswith(ELLIPSIS_SUFFIXES)
+        )
+        bullet_line_ratio = bullet / len(lines)
+        ellipsis_line_ratio = ellipsis / len(lines)
+    else:
+        bullet_line_ratio = ellipsis_line_ratio = 0.0
+    return (
+        dup_line_char_fraction,
+        symbol_word_ratio,
+        bullet_line_ratio,
+        ellipsis_line_ratio,
+    )
+
+
 def mean_word_length(clean: str) -> float:
     toks = _WORD.findall(clean)
     if not toks:

@@ -989,6 +989,99 @@ FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
 SQL_REPETITION_SIGNALS = _sql_repetition_signals()
 
 
+# ------------------------------------------------------- q: gopher quality
+
+def q_gopher_quality(spark, sf_dir):
+    """Gopher-style document quality signals beyond the n-gram repetition
+    pair (kernel.rules.gopher_signals — the kernel docstring is the
+    spec): dup-line char fraction, symbol/word ratio, bullet-line and
+    ellipsis-line ratios. Fully native and map-only: line stats from one
+    materialised trimmed-line array, character counts via the byte-level
+    length-diff idiom — each doc answers inside its own row at any
+    corpus size."""
+    from .kernel.rules import BULLET_CHARS
+
+    d = _docs(spark, sf_dir)
+    raw = F.col("raw")
+    lines = F.filter(
+        F.transform(F.split(raw, "\n"), lambda s: F.btrim(s, F.lit(" \t"))),
+        lambda s: s != F.lit(""),
+    )
+    d = d.select("doc_id", "raw", "clean", lines.alias("_lines"))
+    ln = F.col("_lines")
+    chars = lambda arr: F.aggregate(
+        arr, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    total_chars = chars(ln)
+    dup_chars = total_chars - chars(F.array_distinct(ln))
+    dup_frac = F.when(
+        total_chars > 0, dup_chars.cast("double") / total_chars.cast("double")
+    ).otherwise(F.lit(0.0))
+    hash_count = F.length(raw) - F.length(F.replace(raw, F.lit("#"), F.lit("")))
+    dots_count = (
+        F.length(raw) - F.length(F.replace(raw, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    nw = X.nwords_col(F.col("clean"))
+    symbol_ratio = F.when(
+        nw > 0, (hash_count + dots_count).cast("double") / nw.cast("double")
+    ).otherwise(F.lit(0.0))
+    nlines = F.size(ln)
+    bullet = F.size(
+        F.filter(ln, lambda s: F.substring(s, 1, 1).isin(*BULLET_CHARS))
+    )
+    ellipsis = F.size(
+        F.filter(ln, lambda s: s.endswith("...") | s.endswith("…"))
+    )
+    line_ratio = lambda c: F.when(
+        nlines > 0, c.cast("double") / nlines.cast("double")
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        F.round(dup_frac, 6).alias("dup_line_char_fraction"),
+        F.round(symbol_ratio, 6).alias("symbol_word_ratio"),
+        F.round(line_ratio(bullet), 6).alias("bullet_line_ratio"),
+        F.round(line_ratio(ellipsis), 6).alias("ellipsis_line_ratio"),
+    )
+
+
+def _sql_gopher_quality() -> str:
+    return f"""
+WITH base AS (SELECT doc_id, {RAW} AS raw, {CLEAN} AS clean FROM documents),
+ln AS (SELECT doc_id, raw, clean,
+          list_filter(list_transform(string_split(raw, chr(10)),
+                                     s -> trim(s, ' ' || chr(9))),
+                      s -> s != '') AS lines
+       FROM base),
+agg AS (SELECT doc_id, raw, clean, lines,
+          coalesce(list_sum(list_transform(lines, l -> length(l))), 0) AS total_chars,
+          coalesce(list_sum(list_transform(list_distinct(lines), l -> length(l))), 0) AS distinct_chars,
+          len(lines) AS nlines,
+          len(list_filter(lines, l -> left(l, 1) IN ('-', '*', '•'))) AS bullet,
+          len(list_filter(lines, l -> ends_with(l, '...') OR ends_with(l, '…'))) AS ellipsis,
+          length(raw) - length(replace(raw, '#', '')) AS hash_count,
+          (length(raw) - length(replace(raw, '...', ''))) / 3 AS dots_count,
+          {O.nwords_sql('clean')} AS nw
+        FROM ln)
+SELECT doc_id,
+  round(CASE WHEN total_chars > 0
+        THEN CAST(total_chars - distinct_chars AS DOUBLE) / CAST(total_chars AS DOUBLE)
+        ELSE 0.0 END, 6) AS dup_line_char_fraction,
+  round(CASE WHEN nw > 0
+        THEN CAST(hash_count + dots_count AS DOUBLE) / CAST(nw AS DOUBLE)
+        ELSE 0.0 END, 6) AS symbol_word_ratio,
+  round(CASE WHEN nlines > 0
+        THEN CAST(bullet AS DOUBLE) / CAST(nlines AS DOUBLE)
+        ELSE 0.0 END, 6) AS bullet_line_ratio,
+  round(CASE WHEN nlines > 0
+        THEN CAST(ellipsis AS DOUBLE) / CAST(nlines AS DOUBLE)
+        ELSE 0.0 END, 6) AS ellipsis_line_ratio
+FROM agg
+"""
+
+
+SQL_GOPHER_QUALITY = _sql_gopher_quality()
+
+
 def q_quality_score(spark, sf_dir):
     d = _with_lid(_docs(spark, sf_dir))
     c, r = F.col("clean"), F.col("raw")
@@ -2568,6 +2661,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frames": q_multimodal_frames,
     "multimodal_features": q_multimodal_features,
     "repetition_signals": q_repetition_signals,
+    "gopher_quality": q_gopher_quality,
     "words": q_words,
     "sentences": q_sentences,
     "emojis_annotated": q_emojis_annotated,
@@ -2633,6 +2727,7 @@ ORACLES: dict[str, str] = {
     "multimodal_resize": SQL_MULTIMODAL_RESIZE,
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,
     "repetition_signals": SQL_REPETITION_SIGNALS,
+    "gopher_quality": SQL_GOPHER_QUALITY,
     "words": SQL_WORDS,
     "sentences": SQL_SENTENCES,
     **{name: _PARITY_ORACLE for name in PARITY_QUERIES},
