@@ -381,3 +381,46 @@ def test_gopher_signals_semantics(spark):
             for r in q_gopher_quality(spark, d).collect()
         }
     assert got == want
+
+
+def test_c4_signals_semantics(spark):
+    """Handcrafted C4 filter-signal cases + Spark==kernel row parity."""
+    import tempfile
+
+    from textpipe_spark.kernel import rules as krules
+    from textpipe_spark.queries import _round_half_up, q_c4_filters
+
+    cases = [
+        (1, 'Good line here five words.\nshort\nAnother full line of text!'),
+        (2, "Lorem Ipsum dolor sit amet"),
+        (3, "def f(x): return {'a': 1}"),
+        (4, ""),
+        (5, 'He said "stop"\nquoted end"'),
+        (6, "LOREM IPSUM\nloremipsum no match without space? loremXipsum"),
+    ]
+    want = {}
+    for i, raw in cases:
+        t, s, lo, br = krules.c4_signals(raw)
+        want[i] = (_round_half_up(t, 6), _round_half_up(s, 6), lo, br)
+    # spot checks
+    assert want[1][0] == _round_half_up(2 / 3, 6)   # 2 of 3 end in . / !
+    assert want[1][1] == _round_half_up(1 / 3, 6)   # 'short' has < 5 words
+    assert want[2][2] is True and want[2][3] is False
+    assert want[3][3] is True and want[3][2] is False
+    assert want[4] == (0.0, 0.0, False, False)
+    assert want[5][0] == 1.0                          # both end with '"'
+    assert want[6][2] is True                         # case-insensitive
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, "s", t) for i, t in cases],
+            "doc_id long, source string, text string",
+        ).write.mode("overwrite").parquet(d + "/documents.parquet")
+        got = {
+            r["doc_id"]: (
+                r["terminal_punct_line_ratio"], r["short_line_fraction"],
+                r["has_lorem_ipsum"], r["has_curly_brace"],
+            )
+            for r in q_c4_filters(spark, d).collect()
+        }
+    assert got == want

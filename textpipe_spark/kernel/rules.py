@@ -127,6 +127,49 @@ def gopher_signals(raw: str, clean: str) -> tuple[float, float, float, float]:
     )
 
 
+# C4 (Raffel et al. 2020 §2.2, public paper) per-line heuristics as
+# SIGNALS (the decision thresholds belong to the consumer — on a code
+# corpus '{' is information, not an auto-drop). Terminal punctuation set
+# and the case-insensitive marker written as explicit ASCII classes —
+# no lower() pass (full-text lowercasing can map non-ASCII chars INTO
+# ASCII, e.g. U+212A -> 'k'; per-char classes are dialect-identical).
+TERMINAL_PUNCT = (".", "!", "?", '"')
+RE_LOREM = "[Ll][Oo][Rr][Ee][Mm] [Ii][Pp][Ss][Uu][Mm]"
+C4_MIN_LINE_WORDS = 5
+
+_LOREM = re.compile(RE_LOREM)
+
+
+def c4_signals(raw: str) -> tuple[float, float, bool, bool]:
+    """(terminal_punct_line_ratio, short_line_fraction, has_lorem_ipsum,
+    has_curly_brace) over non-empty ' \\t'-trimmed lines of RAW:
+
+    * terminal_punct_line_ratio — lines ending in ``TERMINAL_PUNCT``
+      (C4 keeps only such lines);
+    * short_line_fraction — lines with < ``C4_MIN_LINE_WORDS`` RE_WORD
+      tokens (C4 drops lines under 5 words);
+    * has_lorem_ipsum — case-insensitive marker anywhere in RAW;
+    * has_curly_brace — '{' anywhere in RAW (C4's code heuristic).
+
+    Ratios 0.0 with no lines; rounded to 6 decimals at the query tier."""
+    lines = _nonempty_lines(raw)
+    if lines:
+        term = sum(1 for ln in lines if ln.endswith(TERMINAL_PUNCT))
+        short = sum(
+            1 for ln in lines if len(_WORD.findall(ln)) < C4_MIN_LINE_WORDS
+        )
+        term_ratio = term / len(lines)
+        short_frac = short / len(lines)
+    else:
+        term_ratio = short_frac = 0.0
+    return (
+        term_ratio,
+        short_frac,
+        _LOREM.search(raw) is not None,
+        "{" in raw,
+    )
+
+
 def mean_word_length(clean: str) -> float:
     toks = _WORD.findall(clean)
     if not toks:

@@ -1082,6 +1082,80 @@ FROM agg
 SQL_GOPHER_QUALITY = _sql_gopher_quality()
 
 
+# ---------------------------------------------------------- q: C4 filters
+
+def q_c4_filters(spark, sf_dir):
+    """C4-style per-line filter signals (kernel.rules.c4_signals is the
+    spec): terminal-punctuation line ratio, short-line fraction (< 5
+    word tokens), lorem-ipsum and curly-brace markers. Map-only native
+    expressions over one materialised trimmed-line array; the marker
+    regex is explicit ASCII classes (no lower() pass — dialect rule in
+    the kernel docstring)."""
+    from .kernel.rules import C4_MIN_LINE_WORDS, RE_LOREM, TERMINAL_PUNCT
+
+    d = _docs(spark, sf_dir)
+    raw = F.col("raw")
+    lines = F.filter(
+        F.transform(F.split(raw, "\n"), lambda s: F.btrim(s, F.lit(" \t"))),
+        lambda s: s != F.lit(""),
+    )
+    d = d.select("doc_id", "raw", lines.alias("_lines"))
+    ln = F.col("_lines")
+    nlines = F.size(ln)
+    term = F.size(
+        F.filter(
+            ln,
+            lambda s: F.substring(s, -1, 1).isin(*TERMINAL_PUNCT),
+        )
+    )
+    short = F.size(
+        F.filter(
+            ln,
+            lambda s: F.regexp_count(s, F.lit(ktok.RE_WORD))
+            < F.lit(C4_MIN_LINE_WORDS),
+        )
+    )
+    ratio = lambda c: F.when(
+        nlines > 0, c.cast("double") / nlines.cast("double")
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        F.round(ratio(term), 6).alias("terminal_punct_line_ratio"),
+        F.round(ratio(short), 6).alias("short_line_fraction"),
+        (F.regexp_count(F.col("raw"), F.lit(RE_LOREM)) > 0).alias("has_lorem_ipsum"),
+        F.col("raw").contains("{").alias("has_curly_brace"),
+    )
+
+
+def _sql_c4_filters() -> str:
+    from .kernel.rules import C4_MIN_LINE_WORDS, RE_LOREM, TERMINAL_PUNCT
+
+    punct = ", ".join(sql_lit(p) for p in TERMINAL_PUNCT)
+    return f"""
+WITH base AS (SELECT doc_id, {RAW} AS raw FROM documents),
+ln AS (SELECT doc_id, raw,
+          list_filter(list_transform(string_split(raw, chr(10)),
+                                     s -> trim(s, ' ' || chr(9))),
+                      s -> s != '') AS lines
+       FROM base),
+agg AS (SELECT doc_id, raw,
+          len(lines) AS nlines,
+          len(list_filter(lines, l -> right(l, 1) IN ({punct}))) AS term,
+          len(list_filter(lines,
+              l -> len(regexp_extract_all(l, {sql_lit(ktok.RE_WORD)})) < {C4_MIN_LINE_WORDS})) AS short
+        FROM ln)
+SELECT doc_id,
+  round(CASE WHEN nlines > 0 THEN CAST(term AS DOUBLE) / CAST(nlines AS DOUBLE) ELSE 0.0 END, 6) AS terminal_punct_line_ratio,
+  round(CASE WHEN nlines > 0 THEN CAST(short AS DOUBLE) / CAST(nlines AS DOUBLE) ELSE 0.0 END, 6) AS short_line_fraction,
+  len(regexp_extract_all(raw, {sql_lit(RE_LOREM)})) > 0 AS has_lorem_ipsum,
+  contains(raw, '{{') AS has_curly_brace
+FROM agg
+"""
+
+
+SQL_C4_FILTERS = _sql_c4_filters()
+
+
 def q_quality_score(spark, sf_dir):
     d = _with_lid(_docs(spark, sf_dir))
     c, r = F.col("clean"), F.col("raw")
@@ -2662,6 +2736,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "repetition_signals": q_repetition_signals,
     "gopher_quality": q_gopher_quality,
+    "c4_filters": q_c4_filters,
     "words": q_words,
     "sentences": q_sentences,
     "emojis_annotated": q_emojis_annotated,
@@ -2728,6 +2803,7 @@ ORACLES: dict[str, str] = {
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,
     "repetition_signals": SQL_REPETITION_SIGNALS,
     "gopher_quality": SQL_GOPHER_QUALITY,
+    "c4_filters": SQL_C4_FILTERS,
     "words": SQL_WORDS,
     "sentences": SQL_SENTENCES,
     **{name: _PARITY_ORACLE for name in PARITY_QUERIES},
