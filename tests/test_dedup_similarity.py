@@ -161,3 +161,44 @@ def test_fingerprint_overlap_pairs(spark):
     assert (0, 1) in pairs
     assert pairs[(0, 1)]["containment"] >= 0.3
     assert (2, 3) not in pairs
+
+
+def test_drop_boilerplate_lines(spark):
+    """Corpus-level boilerplate line removal: a header repeated across >
+    max_df docs is dropped from every doc, unique lines and blank-line
+    structure survive in original order, a fully-boilerplate doc becomes
+    empty, and single-doc corpora are untouched."""
+    from pyspark.sql import functions as F
+
+    from textpipe_spark.dedup import drop_boilerplate_lines
+
+    hdr = "# SPDX-License-Identifier: MIT"
+    rows = [
+        (1, hdr + "\n\ndef a():\n    return 1"),
+        (2, "  " + hdr + "  \n\ndef b():\n    return 2"),   # trimmed key matches
+        (3, hdr + "\nunique line three"),
+        (4, hdr),                                            # only the header
+        (5, "totally unique file\nwith two lines"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    out = {
+        r["doc_id"]: (r["content"], r["n_lines_removed"])
+        for r in drop_boilerplate_lines(
+            df, "content", "doc_id", max_df=2
+        ).collect()
+    }
+    assert out[1] == ("\ndef a():\n    return 1", 1)
+    assert out[2] == ("\ndef b():\n    return 2", 1)
+    assert out[3] == ("unique line three", 1)
+    assert out[4] == ("", 1)                     # fully-boilerplate doc
+    assert out[5] == ("totally unique file\nwith two lines", 0)
+
+    # below the df threshold nothing is dropped
+    df2 = spark.createDataFrame(rows[:2], "doc_id long, content string")
+    out2 = {
+        r["doc_id"]: r["n_lines_removed"]
+        for r in drop_boilerplate_lines(
+            df2, "content", "doc_id", max_df=2
+        ).collect()
+    }
+    assert out2 == {1: 0, 2: 0}

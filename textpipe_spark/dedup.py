@@ -233,3 +233,68 @@ def simhash_near_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select(F.col("id1").cast("long"), F.col("id2").cast("long"), "hamming")
     )
+
+
+def drop_boilerplate_lines(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_df: int = 2,
+) -> DataFrame:
+    """CORPUS-level boilerplate line removal — the CCNet-style repeated-
+    paragraph pass specialised to code corpora (license headers, generated
+    banners, copyright lines repeated across thousands of files).
+
+    Key = the ' \\t'-trimmed line; an occurrence is dropped when its key
+    appears in MORE THAN ``max_df`` distinct documents. Empty keys are
+    never dropped, so blank-line structure survives. Returns the input
+    columns with ``text_col`` replaced by the cleaned text plus
+    ``n_lines_removed``.
+
+    Scale shape (the 100 TB story): explode lines → distinct(doc, key)
+    → one hash aggregation for document frequency → ``left_anti``
+    equi-join of occurrences against the (tiny: keys with df > cap)
+    boilerplate set → per-doc reassembly via collect_list of (pos, line)
+    + array_sort, so position order is restored exactly with no ordering
+    assumption on the shuffle. Every join/agg is an equi/hash operation;
+    the boilerplate side is bounded by corpus-distinct boilerplate keys,
+    not corpus size.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("_pos", "_line"),
+    ).withColumn("_key", F.btrim(F.col("_line"), F.lit(" \t")))
+    boiler = (
+        lines.where(F.col("_key") != "")
+        .select("_key", id_col)
+        .distinct()
+        .groupBy("_key")
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") > max_df)
+        .select("_key")
+    )
+    kept = lines.join(boiler, "_key", "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("_rebuilt"),
+        F.count("*").alias("_kept_lines"),
+    )
+    orig = df.withColumn(
+        "_orig_lines", F.size(F.split(F.col(text_col), "\n", -1))
+    )
+    return (
+        orig.join(reassembled, id_col, "left")
+        .withColumn(
+            "n_lines_removed",
+            (
+                F.col("_orig_lines") - F.coalesce(F.col("_kept_lines"), F.lit(0))
+            ).cast("long"),
+        )
+        .withColumn(text_col, F.coalesce(F.col("_rebuilt"), F.lit("")))
+        .drop("_rebuilt", "_kept_lines", "_orig_lines")
+    )

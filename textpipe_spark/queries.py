@@ -1156,6 +1156,59 @@ FROM agg
 SQL_C4_FILTERS = _sql_c4_filters()
 
 
+# ----------------------------------------------------- q: line boilerplate
+
+LINE_DEDUP_MAX_DF = 2
+
+
+def q_line_dedup(spark, sf_dir):
+    """Corpus-level boilerplate line removal (dedup.drop_boilerplate_lines
+    — CCNet-style repeated-paragraph pass for code corpora). Emits the
+    sha256 of the reassembled text so the oracle pins the whole
+    split → explode → df-count → anti-join → position-ordered
+    reassembly path byte-for-byte (the driver documents are single-line,
+    so removals there are 0 — the drop branch itself is pinned on
+    handcrafted multi-doc corpora in tests/test_dedup_similarity.py)."""
+    from .dedup import drop_boilerplate_lines
+
+    d = _read_parallel(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("raw")
+    )
+    out = drop_boilerplate_lines(d, "raw", "doc_id", max_df=LINE_DEDUP_MAX_DF)
+    return out.select(
+        "doc_id",
+        "n_lines_removed",
+        F.sha2(F.col("raw"), 256).alias("deduped_sha"),
+    )
+
+
+def _sql_line_dedup() -> str:
+    return f"""
+WITH base AS (SELECT doc_id, {RAW} AS raw FROM documents),
+occ AS (SELECT doc_id,
+           trim(unnest(string_split(raw, chr(10))), ' ' || chr(9)) AS k
+        FROM base),
+boiler AS (SELECT k FROM (
+             SELECT k, count(DISTINCT doc_id) AS c
+             FROM occ WHERE k != '' GROUP BY k)
+           WHERE c > {LINE_DEDUP_MAX_DF}),
+bl AS (SELECT coalesce(list(k), []) AS ks FROM boiler),
+built AS (SELECT doc_id,
+            string_split(raw, chr(10)) AS all_lines,
+            list_filter(string_split(raw, chr(10)),
+                s -> trim(s, ' ' || chr(9)) = ''
+                     OR NOT list_contains(ks, trim(s, ' ' || chr(9)))) AS kept
+          FROM base, bl)
+SELECT doc_id,
+       CAST(len(all_lines) - len(kept) AS BIGINT) AS n_lines_removed,
+       sha256(coalesce(array_to_string(kept, chr(10)), '')) AS deduped_sha
+FROM built
+"""
+
+
+SQL_LINE_DEDUP = _sql_line_dedup()
+
+
 def q_quality_score(spark, sf_dir):
     d = _with_lid(_docs(spark, sf_dir))
     c, r = F.col("clean"), F.col("raw")
@@ -2737,6 +2790,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_signals": q_repetition_signals,
     "gopher_quality": q_gopher_quality,
     "c4_filters": q_c4_filters,
+    "line_dedup": q_line_dedup,
     "words": q_words,
     "sentences": q_sentences,
     "emojis_annotated": q_emojis_annotated,
@@ -2804,6 +2858,7 @@ ORACLES: dict[str, str] = {
     "repetition_signals": SQL_REPETITION_SIGNALS,
     "gopher_quality": SQL_GOPHER_QUALITY,
     "c4_filters": SQL_C4_FILTERS,
+    "line_dedup": SQL_LINE_DEDUP,
     "words": SQL_WORDS,
     "sentences": SQL_SENTENCES,
     **{name: _PARITY_ORACLE for name in PARITY_QUERIES},
