@@ -152,13 +152,18 @@ def fingerprint_overlap_pairs(
         StorageLevel.MEMORY_AND_DISK
     )
     exploded = fps.select(id_col, F.explode("_fps").alias("fp"))
-    rare = (
+    # boilerplate filter as a broadcast ANTI-join against the keys ABOVE
+    # the cap: that set is bounded by total_occurrences/df_cap (and in
+    # practice tiny — shared headers), where the <=cap "rare" side is
+    # nearly EVERY distinct fingerprint and could never broadcast at
+    # corpus scale. Same result, scale-correct side.
+    common = (
         exploded.groupBy("fp")
         .agg(F.count("*").alias("_df"))
-        .where(F.col("_df") <= df_cap)
+        .where(F.col("_df") > df_cap)
         .select("fp")
     )
-    t = exploded.join(F.broadcast(rare), "fp")
+    t = exploded.join(F.broadcast(common), "fp", "left_anti")
     # per-doc sizes AFTER the rarity filter — numerator and denominator
     # count the same fingerprint population (the jaccard_pairs convention);
     # sizing before the filter underestimated containment for

@@ -650,9 +650,13 @@ def q_jaccard_pairs(spark, sf_dir, df_cap: int = JACCARD_DF_CAP):
     # shingling (no common-subplan dedup in Catalyst)
     t_all = _shingle_tokens(d).persist(StorageLevel.MEMORY_AND_DISK)
     df_counts = t_all.groupBy("token").agg(F.count("*").alias("df"))
+    # anti-join against the SMALL over-cap stop-shingle set (bounded by
+    # total/df_cap) instead of broadcasting the huge rare side — same
+    # rows, scale-correct broadcast side
     t = t_all.join(
-        F.broadcast(df_counts.where(F.col("df") <= df_cap).select("token")),
+        F.broadcast(df_counts.where(F.col("df") > df_cap).select("token")),
         "token",
+        "left_anti",
     ).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = t.groupBy("doc_id").agg(F.count("*").alias("sz"))
     pairs = (
