@@ -566,7 +566,10 @@ def q_unigram_ppl(spark, sf_dir):
     tok_df = d.select("doc_id", F.explode(toks).alias("token"))
     freq = tok_df.groupBy("token").agg(F.count("*").alias("cnt"))
     total = freq.agg(F.sum("cnt").cast("double").alias("_total"))
-    joined = tok_df.join(F.broadcast(freq), "token").crossJoin(F.broadcast(total))
+    # the freq side is the CORPUS VOCABULARY — un-hinted equi-join so AQE
+    # broadcasts it while it fits and falls back to a hash shuffle when a
+    # 100 TB vocabulary doesn't; only the 1-row total is hint-broadcast
+    joined = tok_df.join(freq, "token").crossJoin(F.broadcast(total))
     return joined.groupBy("doc_id").agg(
         F.round(
             F.exp(-F.avg(F.log(F.col("cnt").cast("double") / F.col("_total")))),
