@@ -365,7 +365,7 @@ def test_gopher_signals_semantics(spark):
     assert want[3][3] == _round_half_up(2 / 3, 6)
     assert want[4][1] == 0.5                            # 2 symbols / 4 words
     assert want[5] == (0.0, 0.0, 0.0, 0.0)
-    assert want[6][1] == 0.0 or True                    # no words -> ratio 0
+    assert want[6][1] == 0.0                            # no words -> ratio 0
     assert want[7] == (0.0, 0.0, 0.0, 0.0)
 
     with tempfile.TemporaryDirectory() as d:
@@ -424,3 +424,11 @@ def test_c4_signals_semantics(spark):
             for r in q_c4_filters(spark, d).collect()
         }
     assert got == want
+
+
+def test_fast_scorer_surrogate_fallback():
+    """Lone surrogates have no UTF-32 encoding — the numpy twin must fall
+    back to the scalar kernel (the spec) instead of raising."""
+    bad = "hello \ud800 world the and of"
+    assert langid.get_fast_scorer().score(bad) == langid.get_model().score(bad)
+    assert langid.get_fast_scorer().categories(bad) == langid.categories(bad)

@@ -265,6 +265,9 @@ def drop_boilerplate_lines(
     the boilerplate side is bounded by corpus-distinct boilerplate keys,
     not corpus size.
     """
+    # NULL text explodes to zero rows but size(split(NULL)) is -1 —
+    # normalise once so n_lines_removed stays well-defined
+    df = df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("_pos", "_line"),

@@ -248,7 +248,10 @@ class FastNgramScorer:
         self._s21 = np.uint64(1 << 21)
 
     def _mean_scores(self, clean: str) -> dict[str, float] | None:
-        """{lang: mean logp} — the shared fold; None when < 2 grams."""
+        """{lang: mean logp} — the shared fold; None when < 2 grams.
+        Raises UnicodeEncodeError on lone surrogates (no UTF-32 form) —
+        ``score``/``categories`` fall back to the scalar kernel there,
+        which slices the str directly and IS the spec."""
         np = self.np
         text = f" {(clean or '').lower()} "
         cps = np.frombuffer(text.encode("utf-32-le"), dtype="<u4")
@@ -268,7 +271,10 @@ class FastNgramScorer:
         return out
 
     def score(self, clean: str, hint: str | None = None) -> tuple[str, float, bool]:
-        scores = self._mean_scores(clean)
+        try:
+            scores = self._mean_scores(clean)
+        except UnicodeEncodeError:
+            return self.model.score(clean, hint)
         if scores is None:
             return UNKNOWN, 0.0, False
         if hint in scores:
@@ -280,7 +286,10 @@ class FastNgramScorer:
         return best, conf, margin > 0.01
 
     def categories(self, clean: str) -> dict[str, float]:
-        scores = self._mean_scores(clean)
+        try:
+            scores = self._mean_scores(clean)
+        except UnicodeEncodeError:
+            return categories(clean)
         if scores is None:
             return {}
         mx = max(scores.values())

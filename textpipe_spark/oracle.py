@@ -79,6 +79,14 @@ def flesch_sql(nw: str, ns: str, nsyl: str) -> str:
     )
 
 
+def nonempty_trimmed_lines_sql(raw: str) -> str:
+    """Non-empty ' \t'-trimmed lines (kernel ``rules._nonempty_lines``)."""
+    return (
+        f"list_filter(list_transform(string_split({raw}, chr(10)), "
+        f"s -> trim(s, ' ' || chr(9))), s -> s != '')"
+    )
+
+
 def nonprintable_ratio_sql(raw: str) -> str:
     return (
         f"CASE WHEN length({raw}) = 0 THEN 0.0 "

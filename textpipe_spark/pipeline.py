@@ -385,8 +385,12 @@ def build(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
         and OPERATIONS["langid_model"] is _step_langid_model
         and OPERATIONS["perplexity"] is _step_perplexity
     ):
-        steps[steps.index("langid_model")] = "_langid_model_ppl_fused"
-        steps.remove("perplexity")
+        # fuse at the EARLIER of the two positions so any intermediate
+        # step that reads the perplexity (or _lid_model) column still
+        # finds it materialised
+        i, j = steps.index("langid_model"), steps.index("perplexity")
+        steps[min(i, j)] = "_langid_model_ppl_fused"
+        del steps[max(i, j)]
     for step in steps:
         if step == "_langid_model_ppl_fused":
             df = _step_langid_model_ppl(df, cfg)

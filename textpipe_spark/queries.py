@@ -1010,25 +1010,32 @@ def q_gopher_quality(spark, sf_dir):
 
     d = _docs(spark, sf_dir)
     raw = F.col("raw")
-    lines = F.filter(
-        F.transform(F.split(raw, "\n"), lambda s: F.btrim(s, F.lit(" \t"))),
-        lambda s: s != F.lit(""),
-    )
-    d = d.select("doc_id", "raw", "clean", lines.alias("_lines"))
-    ln = F.col("_lines")
     chars = lambda arr: F.aggregate(
         arr, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
     )
-    total_chars = chars(ln)
-    dup_chars = total_chars - chars(F.array_distinct(ln))
+    # expensive intermediates (HOF char sums, full-text regexp_count) as
+    # named columns — CASE branches disable CSE (CLAUDE.md rule)
+    d = d.select(
+        "doc_id", "raw", X.nonempty_lines_col(raw).alias("_lines"),
+        X.nwords_col(F.col("clean")).alias("_nw"),
+    )
+    ln = F.col("_lines")
+    d = d.select(
+        "doc_id", "raw", "_lines", "_nw",
+        chars(ln).alias("_total_chars"),
+        chars(F.array_distinct(ln)).alias("_distinct_chars"),
+    )
+    total_chars = F.col("_total_chars")
     dup_frac = F.when(
-        total_chars > 0, dup_chars.cast("double") / total_chars.cast("double")
+        total_chars > 0,
+        (total_chars - F.col("_distinct_chars")).cast("double")
+        / total_chars.cast("double"),
     ).otherwise(F.lit(0.0))
     hash_count = F.length(raw) - F.length(F.replace(raw, F.lit("#"), F.lit("")))
     dots_count = (
         F.length(raw) - F.length(F.replace(raw, F.lit("..."), F.lit("")))
     ) / F.lit(3)
-    nw = X.nwords_col(F.col("clean"))
+    nw = F.col("_nw")
     symbol_ratio = F.when(
         nw > 0, (hash_count + dots_count).cast("double") / nw.cast("double")
     ).otherwise(F.lit(0.0))
@@ -1055,9 +1062,7 @@ def _sql_gopher_quality() -> str:
     return f"""
 WITH base AS (SELECT doc_id, {RAW} AS raw, {CLEAN} AS clean FROM documents),
 ln AS (SELECT doc_id, raw, clean,
-          list_filter(list_transform(string_split(raw, chr(10)),
-                                     s -> trim(s, ' ' || chr(9))),
-                      s -> s != '') AS lines
+          {O.nonempty_trimmed_lines_sql('raw')} AS lines
        FROM base),
 agg AS (SELECT doc_id, raw, clean, lines,
           coalesce(list_sum(list_transform(lines, l -> length(l))), 0) AS total_chars,
@@ -1102,11 +1107,7 @@ def q_c4_filters(spark, sf_dir):
 
     d = _docs(spark, sf_dir)
     raw = F.col("raw")
-    lines = F.filter(
-        F.transform(F.split(raw, "\n"), lambda s: F.btrim(s, F.lit(" \t"))),
-        lambda s: s != F.lit(""),
-    )
-    d = d.select("doc_id", "raw", lines.alias("_lines"))
+    d = d.select("doc_id", "raw", X.nonempty_lines_col(raw).alias("_lines"))
     ln = F.col("_lines")
     nlines = F.size(ln)
     term = F.size(
@@ -1141,9 +1142,7 @@ def _sql_c4_filters() -> str:
     return f"""
 WITH base AS (SELECT doc_id, {RAW} AS raw FROM documents),
 ln AS (SELECT doc_id, raw,
-          list_filter(list_transform(string_split(raw, chr(10)),
-                                     s -> trim(s, ' ' || chr(9))),
-                      s -> s != '') AS lines
+          {O.nonempty_trimmed_lines_sql('raw')} AS lines
        FROM base),
 agg AS (SELECT doc_id, raw,
           len(lines) AS nlines,

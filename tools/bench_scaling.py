@@ -159,8 +159,10 @@ SINGLE-PROCESS-internal, not the job: the interleaved quiet-window probe
 (tools/probe_two_jvm.py; data inline in BENCH/scaling.json
 "two_jvm_probe") runs TWO concurrent local[8] JVMs — 16 busy vCPUs, the
 multi-executor model — at per-core parity with one local[8] alone
-(8->16-core two-JVM efficiency ~1.01), while ONE local[16] JVM in the
-same window drops ~15% per core; heap 8g vs 20g is identical (r3), so
+(8->16-core two-JVM efficiency 0.99: 1038 vs 1048 files/s/core in a
+3-8-jiffy-steal window), while ONE local[16] JVM in the same window runs
+at 697/core (-33% — matching the 0.68 single-JVM 4/16 row almost
+exactly); heap 8g vs 20g is identical (r3), so
 it is allocation/memory contention, not GC capacity. A real N vs 4N
 executor cluster adds executor JVMs and hosts — the duo condition, which
 scales flat — so the single-JVM 4/16 row is a lower bound the cluster

@@ -37,23 +37,39 @@ from bench_scaling import CHILD, run_level  # noqa: E402
 
 
 def run_concurrent(cores: int, corpus: str, repeats: int, n_jvms: int = 2) -> list[dict]:
+    # stdout/stderr go to temp FILES, not pipes: draining PIPE handles
+    # sequentially would let an undrained child block on a full pipe
+    # buffer mid-benchmark, silently serialising the "concurrent" JVMs
+    import tempfile
+
     code = CHILD.format(repo=REPO, cores=cores, corpus=corpus, repeats=repeats)
-    procs = [
-        subprocess.Popen(
-            [sys.executable, "-c", code],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    procs = []
+    for _ in range(n_jvms):
+        fh = tempfile.TemporaryFile(mode="w+", encoding="utf-8")
+        eh = tempfile.TemporaryFile(mode="w+", encoding="utf-8")
+        procs.append(
+            (
+                subprocess.Popen(
+                    [sys.executable, "-c", code], stdout=fh, stderr=eh, text=True
+                ),
+                fh,
+                eh,
+            )
         )
-        for _ in range(n_jvms)
-    ]
     out = []
-    for p in procs:
-        stdout, stderr = p.communicate(timeout=3600)
+    for p, fh, eh in procs:
+        p.wait(timeout=3600)
+        fh.seek(0)
+        stdout = fh.read()
         for line in stdout.splitlines():
             if line.startswith("RESULT "):
                 out.append(json.loads(line[len("RESULT "):]))
                 break
         else:
-            raise RuntimeError(f"no result:\n{stdout[-1500:]}\n{stderr[-1500:]}")
+            eh.seek(0)
+            raise RuntimeError(f"no result:\n{stdout[-1500:]}\n{eh.read()[-1500:]}")
+        fh.close()
+        eh.close()
     return out
 
 
