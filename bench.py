@@ -121,7 +121,19 @@ def main() -> None:
     job()  # warm 1: codegen compile
     job()  # warm 2: C2 JIT depth (walls converge by ~run 5; measured
     #        11.0 -> 4.6 -> 4.4 -> 4.2 -> 4.0 -> 3.8 on this corpus)
-    corpus_wall, best_steal = 1e9, -1
+    def spin_calibration() -> int:
+        """Single-thread spin rate (loop iterations in a fixed 0.2 s
+        window). The host throttles in ways /proc/stat steal does NOT
+        always show (observed: headline 7,083 vs 12,260 files/s in two
+        same-day windows, both with steal < 20 jiffies) — a depressed
+        calibration flags a throttled measurement for any reader."""
+        end = time.monotonic() + 0.2
+        n = 0
+        while time.monotonic() < end:
+            n += 1
+        return n
+
+    corpus_wall, best_steal, best_spin = 1e9, -1, -1
     runs = 0
     # best-of-8, extended up to 12 while the best run still saw steal:
     # a wall measured under hypervisor throttling is measuring the host,
@@ -133,6 +145,7 @@ def main() -> None:
         w = time.monotonic() - t0
         if w < corpus_wall:
             corpus_wall, best_steal = w, steal() - s0
+            best_spin = spin_calibration()
         runs += 1
     timings["code_corpus_pipeline"] = round(corpus_wall, 3)
     files_per_sec = n_corpus / corpus_wall
@@ -164,6 +177,7 @@ def main() -> None:
                 "corpus_files": n_corpus,
                 "cpus": CPUS,
                 "headline_steal_jiffies": best_steal,
+                "headline_spin_calibration": best_spin,
             }
         )
     )

@@ -293,14 +293,18 @@ def test_repetition_signals_semantics(spark):
             rows, "doc_id long, source string, text string"
         ).write.parquet(d + "/documents.parquet")
         got = {
-            r["doc_id"]: (r["dup_bigram_fraction"], r["top_bigram_share"])
+            r["doc_id"]: (
+                r["dup_bigram_fraction"], r["top_bigram_share"],
+                r["dup_trigram_fraction"], r["top_trigram_share"],
+            )
             for r in q_repetition_signals(spark, d).collect()
         }
-    assert got[1] == (0.5, 0.5)
-    assert got[2] == (0.0, round(1 / 3, 6))
-    assert got[3] == (0.0, 0.0)
-    assert got[4] == (0.0, 0.0)
-    assert got[5] == (round(2 / 3, 6), 1.0)
+    # bigram expectations unchanged; trigram columns new (Gopher n=3)
+    assert got[1] == (0.5, 0.5, round(1 / 3, 6), round(2 / 3, 6))
+    assert got[2] == (0.0, round(1 / 3, 6), 0.0, 0.5)
+    assert got[3] == (0.0, 0.0, 0.0, 0.0)
+    assert got[4] == (0.0, 0.0, 0.0, 0.0)
+    assert got[5] == (round(2 / 3, 6), 1.0, 0.5, 1.0)
 
 
 def test_fast_scorers_bit_identical_to_scalar_kernel():

@@ -915,59 +915,73 @@ FROM base GROUP BY 1
 def q_repetition_signals(spark, sf_dir):
     """Gopher-style within-document repetition signals (Rae et al. 2021
     §A1.1 quality heuristics, public paper): over lowercased RE_WORD
-    tokens of clean —
+    tokens of clean, for n = 2 and 3 —
 
-    * ``dup_bigram_fraction`` = 1 - distinct/total word 2-grams (generated
-      text repeats phrases);
-    * ``top_bigram_share`` = occurrences of the most frequent 2-gram /
-      total 2-grams (boilerplate headers dominate).
+    * ``dup_{n}gram_fraction`` = 1 - distinct/total word n-grams
+      (generated text repeats phrases);
+    * ``top_{n}gram_share`` = occurrences of the most frequent n-gram /
+      total n-grams (boilerplate headers dominate).
 
-    Both 0.0 for docs with < 2 tokens. Fully native: bigrams via
-    transform(sequence), the max-run count via an O(n) aggregate over the
-    SORTED bigram array (no explode, no shuffle — each doc answers inside
-    its own row, so the operator is map-only at any corpus size)."""
+    All 0.0 for docs with < n tokens. Fully native and map-only: n-grams
+    via transform(sequence), the max-frequency count via an O(len)
+    aggregate over the SORTED gram array (no explode, no shuffle — each
+    doc answers inside its own row at any corpus size)."""
     d = _docs(spark, sf_dir)
     toks = X.tokens_lower_col(F.col("clean"))
     d = d.select("doc_id", toks.alias("_toks"))
-    n = F.size(F.col("_toks"))
-    bigrams = F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(F.col("_toks"), i), F.element_at(F.col("_toks"), i + 1)
-        ),
+    ntoks = F.size(F.col("_toks"))
+
+    def ngrams(k):
+        return F.transform(
+            F.sequence(F.lit(1), ntoks - (k - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("_toks"), i + j) for j in range(k)]
+            ),
+        )
+
+    d = d.select(
+        "doc_id",
+        F.when(ntoks >= 2, ngrams(2)).alias("_g2"),
+        F.when(ntoks >= 3, ngrams(3)).alias("_g3"),
     )
-    d = d.select("doc_id", F.when(n >= 2, bigrams).alias("_bg"))
-    total = F.size(F.col("_bg"))
-    dup_frac = F.lit(1.0) - F.size(F.array_distinct(F.col("_bg"))).cast(
-        "double"
-    ) / total.cast("double")
-    # longest run of equal elements in the sorted array == max frequency
-    srt = F.array_sort(F.col("_bg"))
-    acc0 = F.struct(
-        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
-    )
-    best = F.aggregate(
-        srt,
-        acc0,
-        lambda a, x: F.struct(
-            x.alias("prev"),
-            F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)).alias("run"),
-            F.greatest(
-                a["best"],
-                F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)),
-            ).alias("best"),
-        ),
-        lambda a: a["best"],
-    )
-    top_share = best.cast("double") / total.cast("double")
+
+    def signals(col):
+        total = F.size(col)
+        dup_frac = F.lit(1.0) - F.size(F.array_distinct(col)).cast(
+            "double"
+        ) / total.cast("double")
+        # longest run of equal elements in the sorted array == max frequency
+        srt = F.array_sort(col)
+        acc0 = F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        )
+        best = F.aggregate(
+            srt,
+            acc0,
+            lambda a, x: F.struct(
+                x.alias("prev"),
+                F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)).alias("run"),
+                F.greatest(
+                    a["best"],
+                    F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)),
+                ).alias("best"),
+            ),
+            lambda a: a["best"],
+        )
+        top_share = best.cast("double") / total.cast("double")
+        return (
+            F.round(F.coalesce(F.when(total >= 1, dup_frac), F.lit(0.0)), 6),
+            F.round(F.coalesce(F.when(total >= 1, top_share), F.lit(0.0)), 6),
+        )
+
+    d2_dup, d2_top = signals(F.col("_g2"))
+    d3_dup, d3_top = signals(F.col("_g3"))
     return d.select(
         "doc_id",
-        F.round(F.coalesce(F.when(total >= 1, dup_frac), F.lit(0.0)), 6).alias(
-            "dup_bigram_fraction"
-        ),
-        F.round(F.coalesce(F.when(total >= 1, top_share), F.lit(0.0)), 6).alias(
-            "top_bigram_share"
-        ),
+        d2_dup.alias("dup_bigram_fraction"),
+        d2_top.alias("top_bigram_share"),
+        d3_dup.alias("dup_trigram_fraction"),
+        d3_top.alias("top_trigram_share"),
     )
 
 
@@ -975,21 +989,37 @@ def _sql_repetition_signals() -> str:
     return f"""
 WITH base AS (SELECT doc_id, {CLEAN} AS clean FROM documents),
 toked AS (SELECT doc_id, {O.tokens_lower_sql('clean')} AS t FROM base),
-bg AS (SELECT doc_id,
+g2 AS (SELECT doc_id,
           CASE WHEN len(t) >= 2
                THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
                END AS b
        FROM toked),
-ex AS (SELECT doc_id, unnest(b) AS g FROM bg WHERE b IS NOT NULL),
-cnt AS (SELECT doc_id, g, count(*) AS c FROM ex GROUP BY 1, 2),
-agg AS (SELECT doc_id,
+g3 AS (SELECT doc_id,
+          CASE WHEN len(t) >= 3
+               THEN list_transform(range(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+               END AS b
+       FROM toked),
+ex2 AS (SELECT doc_id, unnest(b) AS g FROM g2 WHERE b IS NOT NULL),
+cnt2 AS (SELECT doc_id, g, count(*) AS c FROM ex2 GROUP BY 1, 2),
+agg2 AS (SELECT doc_id,
           1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_frac,
           CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_share
-        FROM cnt GROUP BY 1)
+        FROM cnt2 GROUP BY 1),
+ex3 AS (SELECT doc_id, unnest(b) AS g FROM g3 WHERE b IS NOT NULL),
+cnt3 AS (SELECT doc_id, g, count(*) AS c FROM ex3 GROUP BY 1, 2),
+agg3 AS (SELECT doc_id,
+          1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_frac,
+          CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_share
+        FROM cnt3 GROUP BY 1)
 SELECT b.doc_id,
-       round(coalesce(a.dup_frac, 0.0), 6) AS dup_bigram_fraction,
-       round(coalesce(a.top_share, 0.0), 6) AS top_bigram_share
-FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
+       round(coalesce(a2.dup_frac, 0.0), 6) AS dup_bigram_fraction,
+       round(coalesce(a2.top_share, 0.0), 6) AS top_bigram_share,
+       round(coalesce(a3.dup_frac, 0.0), 6) AS dup_trigram_fraction,
+       round(coalesce(a3.top_share, 0.0), 6) AS top_trigram_share
+FROM base b
+LEFT JOIN agg2 a2 ON b.doc_id = a2.doc_id
+LEFT JOIN agg3 a3 ON b.doc_id = a3.doc_id
 """
 
 
