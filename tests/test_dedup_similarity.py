@@ -202,3 +202,41 @@ def test_drop_boilerplate_lines(spark):
         ).collect()
     }
     assert out2 == {1: 0, 2: 0}
+
+
+def test_knn_zero_norm_query_excluded(spark):
+    """A zero-norm query vector must emit NO vote row (both tiers — the
+    oracle drops zero-norm rows before the query/corpus split)."""
+    from textpipe_spark.similarity import knn_join_label, knn_join_label_brute
+
+    corpus = spark.createDataFrame(
+        [(10, 1, [1.0, 0.0]), (11, 2, [0.0, 1.0]), (12, 1, [1.0, 1.0])],
+        "vec_id long, label long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.5]), (1, [0.0, 0.0])],
+        "vec_id long, qvec array<double>",
+    )
+    for fn in (knn_join_label_brute, knn_join_label):
+        got = {r["query_id"] for r in fn(corpus, queries, k=2).collect()}
+        assert got == {0}, fn.__name__
+
+
+def test_blocked_tiers_generic_id_types(spark):
+    """The applyInPandas schemas must follow the caller's id/label types —
+    string ids through the blocked pair and knn tiers."""
+    from textpipe_spark.similarity import blocked_cosine_pairs, knn_join_label
+
+    vecs = spark.createDataFrame(
+        [("a", "x", [1.0, 0.0]), ("b", "y", [1.0, 0.01]), ("c", "x", [0.0, 1.0])],
+        "vec_id string, label string, embedding array<double>",
+    )
+    pairs = blocked_cosine_pairs(vecs, threshold=0.9, n_blocks=2).collect()
+    assert {(r["id1"], r["id2"]) for r in pairs} == {("a", "b")}
+
+    queries = spark.createDataFrame(
+        [("q1", [1.0, 0.0])], "vec_id string, qvec array<double>"
+    )
+    got = knn_join_label(vecs, queries, k=2, n_blocks=2).collect()
+    assert len(got) == 1 and got[0]["query_id"] == "q1"
+    assert got[0]["knn_label"] in ("x", "y")

@@ -9,7 +9,7 @@ from textpipe_spark.io import write_bucketed
 
 def test_ivf_topk_beats_random(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    indexed, model = similarity.build_ivf_index(emb, dim=64, n_cells=8)
+    indexed, model = similarity.build_ivf_index(emb, n_cells=8)
     q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
     exact = {r["vec_id"] for r in similarity.brute_force_topk(emb, q, k=10).collect()}
     approx_rows = similarity.ivf_topk(indexed, model, q, k=10, n_probe=3).collect()
@@ -29,7 +29,7 @@ def test_ivf_topk_batch_matches_single_and_recall(spark):
     driver-side .first()/argsort)."""
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     cand = emb.where(F.col("vec_id") >= 3)
-    indexed, model = similarity.build_ivf_index(cand, dim=64, n_cells=8)
+    indexed, model = similarity.build_ivf_index(cand, n_cells=8)
     qs = emb.where(F.col("vec_id") < 3).select(
         "vec_id", F.col("embedding").alias("qvec")
     )
@@ -61,7 +61,7 @@ def test_ivf_index_partition_pruning(spark, tmp_path_factory):
     with a cell filter that must reach the scan as a PartitionFilter —
     probing n_probe cells reads n_probe directories, not the corpus."""
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    indexed, model = similarity.build_ivf_index(emb, dim=64, n_cells=8)
+    indexed, model = similarity.build_ivf_index(emb, n_cells=8)
     path = str(tmp_path_factory.mktemp("ivf_idx")) + "/index"
     indexed.write.partitionBy("_cell").parquet(path)
     probe = spark.read.parquet(path).where(F.col("_cell").isin([1, 3, 5]))

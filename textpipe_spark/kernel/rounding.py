@@ -1,0 +1,22 @@
+"""HALF_UP decimal rounding — the one rounding spec shared by goldens and
+Arrow-batch operators.
+
+Spark's ``round(double, n)`` is BigDecimal.valueOf (shortest decimal
+repr, same as Python ``str()``) setScale(n, HALF_UP); DuckDB's ``round``
+is half-away-from-zero, identical for positive values. Python's builtin
+``round()`` is banker's and DIVERGES on exact half-way values (est =
+k/128 hits x.xxxx5 whenever k ≡ 4 mod 8), and ``np.round`` is half-to-
+even too — so every value an operator emits for hash comparison against
+a DuckDB ``round(...)`` must go through THIS function."""
+
+from __future__ import annotations
+
+import decimal
+
+
+def round_half_up(x: float, nd: int = 4) -> float:
+    return float(
+        decimal.Decimal(str(x)).quantize(
+            decimal.Decimal(f"1e-{nd}"), rounding=decimal.ROUND_HALF_UP
+        )
+    )

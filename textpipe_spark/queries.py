@@ -874,7 +874,7 @@ def q_ann_topk_ivf(spark, sf_dir):
         "vec_id", F.col("embedding").alias("qvec")
     )
     cand = emb.where(F.col("vec_id") >= 3)
-    indexed, model = build_ivf_index(cand, dim=64, n_cells=8)
+    indexed, model = build_ivf_index(cand, n_cells=8)
     out = ivf_topk_batch(indexed, model, qs, k=ANN_K, n_probe=3)
     return out.select(
         F.col("query_id").cast("long").alias("query_id"),
@@ -2362,18 +2362,8 @@ def q_flagship_model_parity(spark, sf_dir):
     return j.select("doc_id", mism.cast("long").alias("n_mismatches"))
 
 
-def _round_half_up(x: float, nd: int = 4) -> float:
-    """Spark's round(double, n): BigDecimal.valueOf(x) (shortest repr,
-    same as Python str()) setScale(n, HALF_UP). Python round() is
-    banker's and DIVERGES on exact half-way values (est = k/128 hits
-    x.xxxx5 whenever k ≡ 4 mod 8), so goldens must use this."""
-    import decimal
-
-    return float(
-        decimal.Decimal(str(x)).quantize(
-            decimal.Decimal(f"1e-{nd}"), rounding=decimal.ROUND_HALF_UP
-        )
-    )
+from .kernel.rounding import round_half_up as _round_half_up  # noqa: E402
+# (the rounding spec and its rationale live in kernel/rounding.py)
 
 
 def _pairs_mismatch(spark_pairs, golden_pairs, val: str):
@@ -2589,7 +2579,7 @@ def q_ann_topk_ivf_parity(spark, sf_dir):
         "vec_id", F.col("embedding").alias("qvec")
     )
     cand = emb.where(F.col("vec_id") >= 3)
-    indexed, model = build_ivf_index(cand, dim=64, n_cells=8)
+    indexed, model = build_ivf_index(cand, n_cells=8)
     spark_top = ivf_topk_batch(indexed, model, qs, k=ANN_K, n_probe=3).select(
         F.col("vec_id").alias("id1"),
         F.col("query_id").cast("long").alias("id2"),
@@ -2622,10 +2612,14 @@ def q_ann_topk_ivf_parity(spark, sf_dir):
             den = math.sqrt(na) * math.sqrt(nb)
             return 0.0 if den == 0 else dot / den
 
+        c_sq = (centers ** 2).sum(axis=1)
         out = []
         for qid in (0, 1, 2):
             qv = vecs[qid]
-            d = ((qv.astype(np.float64)[None, :] - centers) ** 2).sum(axis=-1)
+            # IDENTICAL expression to similarity.probe_cells (quadratic
+            # form, ||q||^2 dropped) — a different formula could pick a
+            # different cell on a near-tie at the n_probe boundary
+            d = c_sq - 2.0 * (qv.astype(np.float64) @ centers.T)
             probe = set(np.argsort(d)[:3].tolist())
             cand_ids = [
                 i for i, c in cells.items() if c in probe and i >= 3

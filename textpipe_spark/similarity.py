@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .functions.vector import cosine_col
+from .kernel.rounding import round_half_up as _round_half_up
 
 _HYPERPLANES: dict[tuple[int, int, int], np.ndarray] = {}
 
@@ -117,7 +118,6 @@ def lsh_topk(
 
 def build_ivf_index(
     vectors: DataFrame,
-    dim: int,
     n_cells: int = 16,
     vec_col: str = "embedding",
     seed: int = 7,
@@ -150,7 +150,9 @@ def ivf_topk_batch(
     """Probe the n_probe nearest IVF cells per query row, brute-force
     within them — fully IN-PLAN for a query *DataFrame* (VERDICT r2 #7):
     the centroid table (n_cells × dim, a few KB) ships in the probe UDF's
-    closure, cell assignment is an Arrow-batched matmul per query batch,
+    closure, nearest-cell selection is one Arrow-batched quadratic-form
+    distance matrix per query batch ((nq, n_cells) memory, never an
+    (nq, n_cells, dim) tensor),
     and candidates come from an equi-join on ``_cell`` (partition-prunable
     when the index is written partitioned by cell). No ``.first()``, no
     driver argsort, no per-query job. Probe cost ~ (n_probe/n_cells) of
@@ -159,17 +161,22 @@ def ivf_topk_batch(
     ``queries`` needs (id_col, qvec); output is (query_id, vec_id, cosine)
     top-k per query with the module's deterministic tie-break.
     """
-    import numpy as np
-    import pandas as pd
     from pyspark.sql import Window
 
     centers = np.vstack(model.clusterCenters())
     npb = int(n_probe)
 
+    c_sq = (centers ** 2).sum(axis=1)
+
     @F.pandas_udf("array<int>")
     def probe_cells(qv: pd.Series) -> pd.Series:
         Q = np.vstack(qv.to_numpy()).astype(float)  # (nq, dim)
-        d = ((Q[:, None, :] - centers[None, :, :]) ** 2).sum(axis=-1)
+        # ||q-c||^2 = ||q||^2 - 2 q.c + ||c||^2 — (nq, n_cells) memory;
+        # the broadcast subtraction tensor form is O(nq*cells*dim) and
+        # OOMs at scale. ||q||^2 is constant per row, so it cannot change
+        # the argsort and is dropped; ties keep argsort's stable order
+        # (the parity golden computes the identical expression).
+        d = c_sq[None, :] - 2.0 * (Q @ centers.T)
         order = np.argsort(d, axis=1)[:, :npb]
         return pd.Series([row.tolist() for row in order])
 
@@ -281,8 +288,18 @@ def blocked_cosine_pairs(
         bi = right["_id"].to_numpy()
         A = np.vstack(left["vn"].to_numpy())
         B = np.vstack(right["vn"].to_numpy())
-        C = np.round(A @ B.T, 4)
+        C = A @ B.T
         same = key[0] == key[1]
+        # pre-mask with a safe margin (round-to-4 moves a value by at
+        # most 5e-5), then round the few candidates with the HALF_UP
+        # spec — np.round is half-to-even and would diverge from the
+        # DuckDB oracle's round() on exact half-way values
+        rows, cols = np.where(C >= thr - 1e-4)
+        if len(rows):
+            C = C.copy()
+            C[rows, cols] = [
+                _round_half_up(float(v)) for v in C[rows, cols]
+            ]
         rows, cols = np.where(C >= thr)
         out_i, out_j = ai[rows], bi[cols]
         keep = out_i < out_j if same else np.ones(len(rows), dtype=bool)
@@ -292,8 +309,9 @@ def blocked_cosine_pairs(
             {"id1": id1, "id2": id2, "cosine": C[rows, cols][keep]}
         )
 
+    id_t = dict(vectors.dtypes)[id_col]
     return both.groupBy("i", "j").applyInPandas(
-        block_pairs, "id1 long, id2 long, cosine double"
+        block_pairs, f"id1 {id_t}, id2 {id_t}, cosine double"
     )
 
 
@@ -329,8 +347,11 @@ def knn_join_label_brute(
     the scale path is ``knn_join_label`` (blocked local-top-k join)."""
     from pyspark.sql import Window
 
-    # zero-norm exclusion: keep both tiers + the SQL oracle consistent
+    # zero-norm exclusion on BOTH sides: the SQL oracle drops zero-norm
+    # rows before the query/corpus split, so a zero-norm QUERY must not
+    # emit a vote row either
     vectors = vectors.where(F.exists(vec_col, lambda x: x != 0))
+    queries = queries.where(F.exists("qvec", lambda x: x != 0))
     scored = queries.alias("q").crossJoin(vectors.alias("v")).select(
         F.col(f"q.{id_col}").alias("query_id"),
         F.col(f"v.{id_col}").alias("corpus_id"),
@@ -380,10 +401,20 @@ def knn_join_label(
         F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
         F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("_blk"),
     )
-    q = queries.select(
+    # query-side zero-norm exclusion mirrors the corpus side (and the
+    # oracle); the placeholder _label is a typed NON-NULL zero — a null
+    # would coerce the whole Arrow->pandas label column to float64 and
+    # silently corrupt int labels above 2^53 on the cast back
+    label_dt = c.schema["_label"].dataType
+    placeholder = (
+        F.lit("").cast(label_dt)
+        if isinstance(label_dt, T.StringType)
+        else F.lit(0).cast(label_dt)
+    )
+    q = queries.where(F.exists("qvec", lambda x: x != 0)).select(
         F.lit(1).alias("_side"),
         F.col(id_col).alias("_id"),
-        F.lit(None).cast(c.schema["_label"].dataType).alias("_label"),
+        placeholder.alias("_label"),
         F.transform("qvec", lambda x: x.cast("double")).alias("_v"),
         F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("_blk"),
     )
@@ -422,9 +453,11 @@ def knn_join_label(
         )
 
     lbl_t = vectors.schema[label_col].dataType.simpleString()
+    qid_t = dict(queries.dtypes)[id_col]
+    cid_t = dict(vectors.dtypes)[id_col]
     cand = both.groupBy("_blk").applyInPandas(
         local_topk,
-        f"query_id long, corpus_id long, label {lbl_t}, cosine double",
+        f"query_id {qid_t}, corpus_id {cid_t}, label {lbl_t}, cosine double",
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
     topk = cand.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
