@@ -186,12 +186,26 @@ def test_near_dup_dedup_stream(spark, tmp_path_factory):
     assert sigs.count() == n_kept
     assert index.count() == n_kept * 16  # 16 bands per doc
 
-    # --- compaction: collapse epoch partitions into _epoch=-1, then prove
-    # cross-batch dedup still works against the compacted index ---
+    # --- compaction: collapse COMPLETED epoch partitions into _epoch=-1
+    # (the HIGHEST epoch is deliberately retained un-folded: it may be a
+    # written-but-uncommitted attempt, and folding it into -1 would defeat
+    # the retry's `_epoch < N` self-exclusion guard), then prove cross-
+    # batch dedup still works against the compacted index ---
+    max_ep = max(
+        int(d.split("=")[1])
+        for d in os.listdir(idx)
+        if d.startswith("_epoch=")
+    )
     tps_streaming.compact_near_dup_index(spark, idx)
-    assert [d for d in os.listdir(idx) if d.startswith("_epoch=")] == ["_epoch=-1"]
+    assert sorted(
+        d for d in os.listdir(idx) if d.startswith("_epoch=")
+    ) == sorted(["_epoch=-1", f"_epoch={max_ep}"])
+    # no rows lost or duplicated by the swap
     assert spark.read.parquet(idx).count() == n_kept * 16
     assert spark.read.parquet(idx + "_sigs").count() == n_kept
+    # re-running converges (idempotent maintenance)
+    tps_streaming.compact_near_dup_index(spark, idx)
+    assert spark.read.parquet(idx).count() == n_kept * 16
     rows3 = [("r", "c0", "c", "en", base + " other tiny suffix"),  # near-dup of a0
              ("r", "c1", "c", "en", "yet another genuinely fresh doc about "
               + "catalyst optimizer rules and codegen stages " * 3)]
@@ -330,3 +344,28 @@ def test_streaming_replay_parity_query(spark, tmp_path_factory):
     assert within_loser not in kept, "within-epoch keep-first must drop larger _did"
     assert set(kept) == {0, 2, 4, 3, 5} - {within_loser}
     assert kept[0] == 0 and kept[3] == 1 and kept[5] == 1
+
+
+def test_near_dup_index_bands_guard(spark, tmp_path_factory):
+    """Restarting the near-dup stream with a different band count must
+    fail loudly — mismatched band hashes would silently match nothing
+    and disable all cross-batch dedup."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from textpipe_spark.streaming import process_near_dup_batch
+
+    base = tmp_path_factory.mktemp("bands_guard")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma " * 30), (2, "delta epsilon zeta " * 30)],
+        "doc_id long, content string",
+    )
+    args = (str(base / "out"), str(base / "idx"), str(base / "sigs"))
+    process_near_dup_batch(docs, 0, *args, text_col="content",
+                           id_col="doc_id", bands=16)
+    with pytest.raises(ValueError, match="bands=16"):
+        process_near_dup_batch(docs, 1, *args, text_col="content",
+                               id_col="doc_id", bands=32)
+    # same bands proceeds fine
+    process_near_dup_batch(docs, 1, *args, text_col="content",
+                           id_col="doc_id", bands=16)

@@ -38,28 +38,37 @@ def with_minhash(df: DataFrame, text_col: str, num_perm: int = NUM_PERM) -> Data
 
 
 def minhash_lsh_pairs(
-    df: DataFrame,
+    df: DataFrame | None,
     text_col: str,
     id_col: str,
     threshold: float = 0.8,
     bands: int = 16,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs whose estimated Jaccard >= threshold.
 
     signature (one UDF pass) → explode band hashes → self-join per band →
     distinct candidates → verify with native array compare (no Python).
-    """
-    # persist: the signature table fans out to the two band-join sides and
-    # the two mh1/mh2 rejoin sides; without the cache the minhash UDF runs
-    # once per consumer (Catalyst does not dedupe common subplans). ~0.5 KB
-    # per doc, MEMORY_AND_DISK spills at scale.
-    from pyspark import StorageLevel
 
-    sig = (
-        with_minhash(df.select(id_col, text_col), text_col)
-        .select(id_col, "minhash")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    Pass ``sig`` (a frame with (id_col, minhash), typically already
+    persisted by the caller) to reuse precomputed signatures — the
+    streaming micro-batch does this so the MinHash UDF runs ONCE per
+    batch and no extra cache entry is created here.
+    """
+    if sig is not None:
+        sig = sig.select(id_col, "minhash")
+    else:
+        # persist: the signature table fans out to the two band-join sides
+        # and the two mh1/mh2 rejoin sides; without the cache the minhash
+        # UDF runs once per consumer (Catalyst does not dedupe common
+        # subplans). ~0.5 KB per doc, MEMORY_AND_DISK spills at scale.
+        from pyspark import StorageLevel
+
+        sig = (
+            with_minhash(df.select(id_col, text_col), text_col)
+            .select(id_col, "minhash")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
     # band join carries ONLY (id, band) — the 128-int signatures rejoin
     # after pair dedup, so the shuffled band rows stay ~16 bytes each.
     banded = sig.select(

@@ -23,10 +23,19 @@ def stream_code_files(
     source_dir: str,
     schema: str = "repo string, path string, commit string, lang string, content string",
     max_files_per_trigger: int = 4,
+    max_file_age: str = "30d",
 ) -> DataFrame:
+    """File-source stream over the code-corpus layout.
+
+    ``max_file_age`` is surfaced because the source's 7-day default
+    silently SKIPS newly-arrived files whose modification times are old
+    relative to the newest seen file (rsync/distcp with preserved
+    mtimes) — a corpus-gap failure mode with no error; widen or set
+    latestFirst per deployment."""
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("maxFileAge", max_file_age)
         .parquet(source_dir)
     )
 
@@ -189,20 +198,39 @@ def process_near_dup_batch(
     batch-shaped replay (queries.q_streaming_replay_parity) can drive the
     IDENTICAL code path — epoch-pruned index reads, per-pair verify,
     dynamic epoch-partitioned writes — without a streaming query."""
+    import os
+
     from ..dedup import minhash_lsh_pairs, with_minhash
     from .. import udfs
     from ..kernel.minhash import NUM_PERM
 
     spark = batch_df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # layout guard: restarting with a different band count would make
+    # band_idx/band_hash incompatible with the persisted index and
+    # silently disable ALL cross-batch dedup — fail loudly instead.
+    # Best-effort marker (local-fs path semantics, like compaction).
+    marker = os.path.join(index_dir, "_BANDS")
+    try:
+        if os.path.exists(marker):
+            recorded = int(open(marker).read().strip())
+            if recorded != bands:
+                raise ValueError(
+                    f"near-dup index at {index_dir} was built with "
+                    f"bands={recorded}, got bands={bands} — the band "
+                    "equi-join would silently match nothing"
+                )
+    except OSError:
+        pass
     sig = with_minhash(batch_df, text_col).withColumn(
         "_did", F.xxhash64(F.col(id_col))
     )
     sig = sig.persist()
     try:
+        # slim band rows ONLY (the 128-long signature would otherwise be
+        # duplicated 16x through the index join shuffle — dedup.py's own
+        # band join carries ~16 B rows and rejoins signatures afterwards)
         banded = sig.select(
             F.col("_did"),
-            F.col("minhash"),
             F.posexplode(udfs.lsh_bands_col(F.col("minhash"), bands)).alias(
                 "band_idx", "band_hash"
             ),
@@ -227,8 +255,9 @@ def process_near_dup_batch(
             # checked one arbitrary candidate and silently lost recall)
             pairs = (
                 banded.join(index, ["band_idx", "band_hash"])
-                .select("_did", "minhash", "idx_did")
+                .select("_did", "idx_did")
                 .dropDuplicates(["_did", "idx_did"])
+                .join(sig.select("_did", "minhash"), "_did")
                 .join(sigs.select("idx_did", F.col("minhash").alias("mh2")),
                       "idx_did")
             )
@@ -243,8 +272,11 @@ def process_near_dup_batch(
                 ).cast("double")
                 / F.lit(float(NUM_PERM))
             )
+            # materialise the estimate, then filter on the written column
+            # (CLAUDE.md rule: never where() an expensive computed boolean)
             hist_dups = (
-                pairs.where(F.round(est, 4) >= threshold)
+                pairs.withColumn("_est", F.round(est, 4))
+                .where(F.col("_est") >= threshold)
                 .select("_did")
                 .distinct()
             )
@@ -254,10 +286,12 @@ def process_near_dup_batch(
             if "PATH_NOT_FOUND" not in str(exc) and "unable to infer schema" not in str(exc).lower():
                 raise
             hist_dups = sig.select("_did").limit(0)
-        # within-batch near-dups (keep-first)
+        # within-batch near-dups (keep-first); signatures REUSED from the
+        # batch-persisted sig table — one MinHash UDF pass per batch, no
+        # per-batch cache entry leaked inside the helper
         batch_pairs = minhash_lsh_pairs(
-            sig.select(F.col("_did").alias("doc_id"), text_col),
-            text_col, "doc_id", threshold=threshold, bands=bands,
+            None, text_col, "doc_id", threshold=threshold, bands=bands,
+            sig=sig.select(F.col("_did").alias("doc_id"), "minhash"),
         )
         batch_losers = batch_pairs.select(F.col("id2").alias("_did")).distinct()
         losers = hist_dups.union(batch_losers).distinct()
@@ -267,36 +301,50 @@ def process_near_dup_batch(
         # materialise once: the three writes below would otherwise each
         # re-run the band joins + verify
         kept = kept.persist()
-        kept.count()
-        (
-            kept.drop("_did", "minhash")
-            .write.mode("overwrite")
-            .partitionBy("_epoch")
-            .parquet(out_dir)
-        )
-        (
-            kept.select(
-                F.col("_epoch"),
-                F.posexplode(udfs.lsh_bands_col(F.col("minhash"), bands)).alias(
-                    "band_idx", "band_hash"
-                ),
-                F.col("_did").alias("idx_did"),
+        try:
+            kept.count()
+            # dynamic overwrite scoped PER WRITE (a session-level conf
+            # flip would silently change other jobs' static partitioned
+            # overwrites on the shared SparkSession)
+            (
+                kept.drop("_did", "minhash")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_epoch")
+                .parquet(out_dir)
             )
-            .write.mode("overwrite")
-            .partitionBy("_epoch", "band_idx")
-            .parquet(index_dir)
-        )
-        (
-            kept.select(
-                F.col("_epoch"),
-                F.col("_did").alias("idx_did"),
-                F.col("minhash"),
+            (
+                kept.select(
+                    F.col("_epoch"),
+                    F.posexplode(
+                        udfs.lsh_bands_col(F.col("minhash"), bands)
+                    ).alias("band_idx", "band_hash"),
+                    F.col("_did").alias("idx_did"),
+                )
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_epoch", "band_idx")
+                .parquet(index_dir)
             )
-            .write.mode("overwrite")
-            .partitionBy("_epoch")
-            .parquet(sigs_dir)
-        )
-        kept.unpersist()
+            (
+                kept.select(
+                    F.col("_epoch"),
+                    F.col("_did").alias("idx_did"),
+                    F.col("minhash"),
+                )
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_epoch")
+                .parquet(sigs_dir)
+            )
+        finally:
+            kept.unpersist()
+        try:
+            if not os.path.exists(marker):
+                with open(marker, "w") as fh:
+                    fh.write(str(int(bands)))
+        except OSError:
+            pass
     finally:
         sig.unpersist()
 
@@ -304,44 +352,86 @@ def process_near_dup_batch(
 
 def compact_near_dup_index(spark, index_dir: str, sigs_dir: str | None = None):
     """Index maintenance for ``near_dup_dedup_stream`` (the compaction the
-    epoch-partitioned layout calls for): rewrite all completed epochs into
+    epoch-partitioned layout calls for): rewrite completed epochs into
     the reserved ``_epoch=-1`` partition, then drop the per-epoch
     directories. -1 is always < any live epoch, so the stream's
     ``_epoch < current`` read keeps seeing every compacted row; the band
     index stays partitioned by band_idx (partition-pruned equi-join).
     Run between stream restarts (availableNow batches) or from a
     maintenance cron — NOT concurrently with an active micro-batch (the
-    rewrite moves files a running read plan may reference).
+    rewrite moves files a running read plan may reference). Filesystem
+    manipulation is driver-local-path based (os/shutil) — on an
+    HDFS/S3 deployment this step must go through the Hadoop FileSystem
+    API instead (documented limitation; the read/verify path above is
+    already storage-agnostic).
+
+    Two safety properties:
+
+    * the HIGHEST epoch present is NEVER folded: it may be a completed-
+      write-but-uncommitted-checkpoint attempt, and folding it into
+      ``_epoch=-1`` would defeat the retry's ``_epoch < N`` self-
+      exclusion guard — the retried batch would see its own previous
+      attempt and drop every incoming doc as a self-duplicate;
+    * the swap is crash-tolerant: the compacted rows move IN first under
+      the staging partition ``_epoch=-2`` (also < any live epoch, so
+      they are visible immediately; duplicated rows are harmless — the
+      read path dedups at pair granularity), old epoch dirs are removed
+      next, and the staging dir renames to ``_epoch=-1`` last. A crash
+      anywhere leaves a readable index, and re-running compaction
+      converges (-2 is just another foldable epoch).
 
     At scale this is the standard small-files compaction: N epochs × B
     band dirs of tiny parquet collapse into one file set per band_idx;
     cost is one shuffle-free rewrite of the index (16 rows × ~24 B per
     surviving doc)."""
-    import shutil
     import os
+    import shutil
 
     sigs_dir = sigs_dir or index_dir.rstrip("/") + "_sigs"
+
+    # the exclusion epoch must be consistent across BOTH tables (the
+    # retry reads both with the same `_epoch < N` predicate)
+    def epochs_of(path):
+        return {
+            r["_epoch"]
+            for r in spark.read.parquet(path).select("_epoch").distinct().collect()
+        }
+
+    all_epochs = epochs_of(index_dir) | epochs_of(sigs_dir)
+    live = sorted(e for e in all_epochs if e >= 0)
+    if not live:
+        return
+    max_epoch = live[-1]
+
     for path, part_cols in ((index_dir, ["band_idx"]), (sigs_dir, [])):
         df = spark.read.parquet(path)
-        epochs = [
+        fold = [
             r["_epoch"] for r in df.select("_epoch").distinct().collect()
-            if r["_epoch"] != -1
+            if r["_epoch"] != max_epoch
         ]
-        if not epochs:
+        if not fold or fold == [-1]:
             continue
         out = path.rstrip("/") + "__compact_out"
         (
-            df.withColumn("_epoch", F.lit(-1))
+            df.where(F.col("_epoch") != max_epoch)
+            .withColumn("_epoch", F.lit(-2))
             .write.mode("overwrite")
             .partitionBy(*(["_epoch"] + part_cols))
             .parquet(out)
         )
-        # swap: drop old epoch dirs, move the compacted partition in
-        for d in os.listdir(path):
-            if d.startswith("_epoch="):
-                shutil.rmtree(os.path.join(path, d))
-        shutil.move(os.path.join(out, "_epoch=-1"), os.path.join(path, "_epoch=-1"))
+        staging = os.path.join(path, "_epoch=-2")
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
+        shutil.move(os.path.join(out, "_epoch=-2"), staging)
         shutil.rmtree(out)
+        # old epoch dirs out (the rows now live under -2 and stay visible)
+        for d in os.listdir(path):
+            if d.startswith("_epoch=") and d not in (
+                "_epoch=-2", f"_epoch={max_epoch}"
+            ):
+                shutil.rmtree(os.path.join(path, d))
+        # final rename: staging -> the canonical compaction partition
+        shutil.move(staging, os.path.join(path, "_epoch=-1"))
 
 
 def write_filtered(
