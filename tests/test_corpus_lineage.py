@@ -131,3 +131,19 @@ def test_corpus_pipeline_cli(tmp_path):
     stats = json.loads(proc.stdout.strip().splitlines()[-1])
     assert stats["files_in"] >= stats["files_kept"] >= stats["after_exact_dedup"] >= stats["after_near_dup"] > 0
     assert sum(stats["drop_histogram"].values()) == stats["files_in"] - stats["files_kept"]
+
+
+def test_with_part_id_matches_generator_layout(spark):
+    """TableIO.with_part_id must reproduce the generator's sha1-prefix
+    bucket assignment exactly (the append-to-existing-table contract)."""
+    import hashlib
+
+    from textpipe_spark.io import TableIO
+
+    repos = [f"org{i}/repo{i}" for i in range(50)]
+    t = TableIO("/tmp/unused", partitions=16)
+    df = spark.createDataFrame([(r,) for r in repos], "repo string")
+    got = {r["repo"]: r["part_id"] for r in t.with_part_id(df).collect()}
+    for repo in repos:
+        want = int(hashlib.sha1(repo.encode()).hexdigest()[:8], 16) % 16
+        assert got[repo] == want, repo

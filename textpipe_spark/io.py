@@ -36,11 +36,16 @@ class TableIO:
         )
 
     def with_part_id(self, df: DataFrame, key_col: str = "repo") -> DataFrame:
-        """Iceberg bucket-transform stand-in; must match the generator's
-        layout when appending to an existing table."""
-        return df.withColumn(
-            PART_COL, F.pmod(F.hash(F.col(key_col)), F.lit(self.partitions))
+        """Iceberg bucket-transform stand-in; MUST match the generator's
+        layout when appending to an existing table — the corpus generator
+        assigns part_id = int(sha1(key)[:8], 16) % P (tests/make_corpus.py),
+        so this uses the identical sha1-prefix expression (Spark murmur3
+        F.hash would scatter the same repo across two buckets)."""
+        bucket = F.pmod(
+            F.conv(F.substring(F.sha1(F.col(key_col)), 1, 8), 16, 10).cast("long"),
+            F.lit(self.partitions),
         )
+        return df.withColumn(PART_COL, bucket.cast("int"))
 
     def overwrite_partition(self, df: DataFrame, part_id: int) -> None:
         """Idempotent per-partition overwrite (the parquet analogue of

@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import hashlib
 import json
-import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -51,24 +50,35 @@ class LineageLog:
         self.root = root
 
     def completed_partitions(self, spark: SparkSession, config_sha: str) -> set[int]:
-        if not os.path.exists(self.root):
+        # storage-agnostic existence handling: a driver-local
+        # os.path.exists is always False for s3://... roots (resume
+        # would silently re-run everything), and a crash mid-append can
+        # leave a dir with zero committed footers — so read with the
+        # explicit schema and treat a missing/contentless table as empty
+        from pyspark.errors import AnalysisException
+
+        try:
+            df = spark.read.schema(LINEAGE_SCHEMA).parquet(self.root)
+            rows = (
+                df.where(F.col("config_sha") == config_sha)
+                .select("part_id")
+                .distinct()
+                .collect()
+            )
+        except AnalysisException:
             return set()
-        df = spark.read.parquet(self.root)
-        rows = (
-            df.where(F.col("config_sha") == config_sha)
-            .select("part_id")
-            .distinct()
-            .collect()
-        )
         return {r["part_id"] for r in rows}
 
     def append(self, spark: SparkSession, row: dict) -> None:
-        spark.createDataFrame([tuple(row.values())], LINEAGE_SCHEMA).write.mode(
+        # field order taken from the SCHEMA, not from dict insertion
+        # order — a reordered caller dict must not silently swap columns
+        ordered = tuple(row[f.split()[0]] for f in LINEAGE_SCHEMA.split(", "))
+        spark.createDataFrame([ordered], LINEAGE_SCHEMA).write.mode(
             "append"
         ).parquet(self.root)
 
     def read(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.root)
+        return spark.read.schema(LINEAGE_SCHEMA).parquet(self.root)
 
 
 def drop_reason_histogram(out: DataFrame) -> dict[str, int]:
@@ -100,11 +110,21 @@ def run_partitioned(
 
     cfg = cfg or PipelineConfig()
     sha = config_fingerprint(cfg)
-    todo = partitions if partitions is not None else list(range(source.partitions))
+    if partitions is not None:
+        todo = partitions
+    else:
+        # enumerate the partitions ACTUALLY present (one metadata-only
+        # distinct over the partition column) instead of trusting the
+        # config count: an over-count crashes on missing dirs and blocks
+        # resume at the same spot forever; an under-count silently never
+        # processes the tail partitions and reports success
+        todo = sorted(
+            r[PART_COL]
+            for r in source.read(spark).select(PART_COL).distinct().collect()
+        )
     done = lineage.completed_partitions(spark, sha)
     summary = {"skipped": 0, "processed": 0, "files_in": 0, "files_out": 0}
     lock = threading.Lock()
-    processed = 0
 
     def run_one(part: int) -> None:
         t0 = time.monotonic()
@@ -117,7 +137,10 @@ def run_partitioned(
         # Kept-only consumers filter on the WRITTEN keep column — a plain
         # parquet predicate pushdown.
         labeled = out.drop("clean", cfg.raw_col)
-        sink.overwrite_partition(labeled.withColumn(PART_COL, F.lit(part)), part)
+        # the target path {root}/part_id={part} already encodes the
+        # partition value (recovered via basePath on read); writing it as
+        # a data column too would diverge from TableIO.append's layout
+        sink.overwrite_partition(labeled, part)
         # lineage stats come from the WRITTEN parquet (column-pruned
         # re-read) — the pipeline itself runs exactly once per partition
         written = sink.read_partition(spark, part).select("drop_reason")
@@ -158,9 +181,17 @@ def run_partitioned(
             run_one(p)
     else:
         with ThreadPoolExecutor(max_workers=parallelism) as pool:
+            from concurrent.futures import as_completed
+
             futures = [pool.submit(run_one, p) for p in pending]
-            for f in futures:
-                f.result()  # surface the first failure
+            try:
+                for f in as_completed(futures):
+                    f.result()  # surface the first failure promptly
+            except BaseException:
+                # stop queued partitions; in-flight ones finish (their
+                # lineage append keeps them resumable-skippable)
+                pool.shutdown(wait=True, cancel_futures=True)
+                raise
     return summary
 
 
