@@ -45,9 +45,12 @@ def test_multimodal_frame_sampling(spark, documents):
 
     video = multimodal.video_from_documents(documents.limit(20))
     frames = multimodal.sample_frames(video, every_ms=1000)
-    # fan-out must be native (sequence+explode), not Python
+    # the payload must cross the Arrow boundary ONCE per media row: the
+    # fan-out happens inside a single mapInPandas, not via an explode
+    # that would duplicate the payload into every frame row
     plan = frames._jdf.queryExecution().executedPlan().toString()
-    assert "Generate explode" in plan or "Generate" in plan
+    assert "MapInPandas" in plan
+    assert "Generate explode" not in plan
     got = {}
     for r in frames.collect():
         got.setdefault(r["media_id"], []).append((r["ts_ms"], r["frame_sha256"]))

@@ -93,5 +93,5 @@ def process(raw: str, cfg: _rules.RuleConfig | None = None, hint_lang: str | Non
         "drop_reason": reason,
         "scrubbed_sha256": hashlib.sha256(scrubbed.encode("utf-8")).hexdigest(),
         "minhash": _minhash.minhash_text(cleaned),
-        "simhash": _minhash.simhash64([t.lower() for t in _tok._WORD.findall(cleaned)]),
+        "simhash": _minhash.simhash_text(cleaned),
     }

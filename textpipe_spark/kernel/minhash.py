@@ -108,20 +108,6 @@ def jaccard_estimate(sig1: list[int], sig2: list[int]) -> float:
     return float(np.mean(s1 == s2))
 
 
-def lsh_band_hashes(sig: list[int], bands: int = 16) -> list[int]:
-    """Split the signature into ``bands`` rows-per-band buckets; each band's
-    hash keys a groupBy in the LSH dedup join (SURVEY.md §2.3)."""
-    rows = len(sig) // bands
-    out = []
-    for i in range(bands):
-        chunk = bytes()
-        for v in sig[i * rows : (i + 1) * rows]:
-            chunk += struct.pack("<I", v & _MAX32)
-        h = hashlib.sha1(struct.pack("<I", i) + chunk).digest()[:8]
-        out.append(struct.unpack("<q", h)[0])
-    return out
-
-
 def simhash64(tokens: list[str]) -> int:
     """64-bit SimHash over token unigrams (signed int64 for Spark LongType)."""
     if not tokens:
@@ -143,6 +129,15 @@ def _count(tokens: list[str]) -> dict[str, int]:
     for t in tokens:
         d[t] = d.get(t, 0) + 1
     return d
+
+
+def simhash_text(text: str) -> int:
+    """SimHash over lowercased RE_WORD tokens — THE simhash tokenization
+    (kernel-is-spec): every consumer (Spark UDF, doc kernel, parity
+    goldens) calls this instead of re-stating the token prep."""
+    from .tokenize import _WORD
+
+    return simhash64([w.lower() for w in _WORD.findall(text or "")])
 
 
 def hamming64(x: int, y: int) -> int:

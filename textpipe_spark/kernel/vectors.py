@@ -99,3 +99,26 @@ def doc_embedding(
     if not hit:
         return []
     return [round(float(x), 6) for x in acc]
+
+
+def word_vectors_doc(text: str) -> list[tuple[str, tuple[bool, float, bool, list[float]]]]:
+    """Per-token vector annotations for a document (reference
+    ``WordVectors``, operation.py:293-317 / doc.py:499-538): sorted
+    distinct lowercased RE_WORD tokens, each mapped to
+    (has_vector, vector_norm, is_oov, vector). THE one definition —
+    consumed by both the Spark UDF (udfs.word_vectors_udf) and the
+    parity golden, so the harness compares the distributed tier against
+    the kernel rather than against a hand-copied twin."""
+    from .tokenize import _WORD
+
+    toks = {t.lower() for t in _WORD.findall(text or "")}
+    out = []
+    for t in sorted(toks):
+        if t in _TRAIN_COUNTS:
+            v = word_vector(t)
+            out.append(
+                (t, (True, float(np.linalg.norm(v)), False, [float(x) for x in v]))
+            )
+        else:
+            out.append((t, (False, 0.0, True, [])))
+    return out

@@ -53,7 +53,10 @@ def _decode_stub(payload: bytes, kind: str) -> list[float]:
     decoder (e.g. PIL.Image.open -> resize -> embed) without touching the
     Spark plumbing around it.
     """
-    digest = hashlib.sha256(payload or b"").digest()
+    return _features_from_digest(hashlib.sha256(payload or b"").digest())
+
+
+def _features_from_digest(digest: bytes) -> list[float]:
     return [b / 255.0 for b in digest[:8]]
 
 
@@ -64,17 +67,16 @@ def extract_features(df: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
+            # one digest pass per payload feeds BOTH outputs (hashing is
+            # the dominant stub cost on multi-MB media)
+            digests = [hashlib.sha256(p or b"").digest() for p in payloads]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "payload_sha256": [
-                        hashlib.sha256(p or b"").hexdigest() for p in payloads
-                    ],
+                    "payload_sha256": [d.hex() for d in digests],
                     "n_bytes": [len(p or b"") for p in payloads],
-                    "feature": [
-                        _decode_stub(p, k) for p, k in zip(payloads, pdf["kind"])
-                    ],
+                    "feature": [_features_from_digest(d) for d in digests],
                 }
             )
 
@@ -137,34 +139,37 @@ def _frame_stub(payload: bytes, ts_ms: int) -> str:
 
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame sampling for video rows: timestamps 0, every_ms, ... <
-    duration_ms. The FAN-OUT is native (sequence + explode — Catalyst
-    handles it, no Python in the row-multiplication), only the per-frame
-    decode crosses into an Arrow pandas UDF; so a 2-hour video explodes
-    JVM-side and the Python boundary sees exactly one row per sampled
-    frame."""
+    duration_ms. Each video PAYLOAD crosses the Arrow boundary exactly
+    ONCE — mapInPandas emits every FRAME_SCHEMA row for a media row from
+    that single copy. (The earlier native sequence+explode fan-out put
+    the fan-out before the UDF, duplicating the full payload into every
+    frame row of the projection and the Arrow transfer: a 2-hour video
+    at 1 frame/s meant 7200 copies of a multi-MB payload per row — the
+    decoder, like real ffmpeg seeking, wants one payload and many
+    timestamps, so the fan-out belongs on the Python side.)"""
+    step = int(every_ms)
 
-    @F.pandas_udf(T.StringType())
-    def frame_udf(payload: pd.Series, ts: pd.Series) -> pd.Series:
-        return pd.Series(
-            [_frame_stub(p, int(t)) for p, t in zip(payload, ts)]
-        )
-
-    frames = df.where(
+    vids = df.where(
         (F.col("kind") == "video") & (F.col("meta.duration_ms") > 0)
     ).select(
-        "media_id",
-        "payload",
-        F.explode(
-            F.sequence(
-                F.lit(0).cast("long"),
-                (F.col("meta.duration_ms") - 1).cast("long"),
-                F.lit(int(every_ms)).cast("long"),
+        "media_id", "payload", F.col("meta.duration_ms").alias("_dur")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            ts_out: list = []
+            hashes: list = []
+            for mid, p, dur in zip(pdf["media_id"], pdf["payload"], pdf["_dur"]):
+                for t in range(0, int(dur), step):
+                    ids.append(mid)
+                    ts_out.append(t)
+                    hashes.append(_frame_stub(p, t))
+            yield pd.DataFrame(
+                {"media_id": ids, "ts_ms": ts_out, "frame_sha256": hashes}
             )
-        ).alias("ts_ms"),
-    )
-    return frames.select(
-        "media_id", "ts_ms", frame_udf("payload", "ts_ms").alias("frame_sha256")
-    )
+
+    return vids.mapInPandas(run, FRAME_SCHEMA)
 
 
 def media_from_documents(docs: DataFrame) -> DataFrame:

@@ -2141,7 +2141,7 @@ def _golden_minhash(raw):
 def _golden_simhash(raw):
     from .kernel import minhash as kmh
 
-    return (kmh.simhash64([w.lower() for w in ktok._WORD.findall(_g_clean(raw))]),)
+    return (kmh.simhash_text(_g_clean(raw)),)
 
 
 def _golden_fingerprint(raw):
@@ -2183,22 +2183,9 @@ def _golden_doc_embedding(raw):
 
 
 def _golden_word_vectors(raw):
-    import numpy as np
-
     from .kernel import vectors as kvec
-    from .kernel.vectors import _TRAIN_COUNTS
 
-    toks = {t.lower() for t in ktok._WORD.findall(_g_clean(raw))}
-    out = []
-    for t in sorted(toks):
-        if t in _TRAIN_COUNTS:
-            v = kvec.word_vector(t)
-            out.append(
-                (t, (True, float(np.linalg.norm(v)), False, [float(x) for x in v]))
-            )
-        else:
-            out.append((t, (False, 0.0, True, [])))
-    return (out,)
+    return (kvec.word_vectors_doc(_g_clean(raw)),)
 
 
 def _golden_categories(raw):
@@ -2474,7 +2461,10 @@ def q_simhash_pairs_parity(spark, sf_dir):
                     cands.add((ids[x], ids[y]))
         out = []
         for a, b in sorted(cands):
-            ham = bin(sh[a] ^ sh[b]).count("1")
+            # mask-correct popcount (kernel hamming64): bin() on a SIGNED
+            # xor counts the magnitude's bits — a sign-crossing near-dup
+            # pair would report ~63 and silently fall out of the golden
+            ham = kmh.hamming64(sh[a], sh[b])
             if ham <= 3:
                 out.append((a, b, ham))
         yield pd.DataFrame(out, columns=["id1", "id2", "g_hamming"])

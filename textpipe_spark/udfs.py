@@ -80,13 +80,7 @@ def minhash_udf(clean: pd.Series) -> pd.Series:
 
 @F.pandas_udf(T.LongType())
 def simhash_udf(clean: pd.Series) -> pd.Series:
-    return pd.Series(
-        [
-            kmh.simhash64([w.lower() for w in ktok._WORD.findall(t or "")])
-            for t in clean
-        ],
-        dtype="int64",
-    )
+    return pd.Series([kmh.simhash_text(t) for t in clean], dtype="int64")
 
 
 @F.pandas_udf(T.ArrayType(T.LongType()))
@@ -199,24 +193,9 @@ def word_vectors_udf(clean: pd.Series) -> pd.Series:
     operation.py:293-317 / doc.py:499-538). Vocabulary = the embedded seed
     corpus; in-vocab tokens get the hashed vector, OOV tokens mirror the
     reference's has_vector=False shape."""
-    import numpy as np
-
     from .kernel import vectors as kvec
-    from .kernel.vectors import _TRAIN_COUNTS
 
-    out = []
-    for text in clean:
-        toks = {t.lower() for t in ktok._WORD.findall(text or "")}
-        m = {}
-        for t in sorted(toks):
-            if t in _TRAIN_COUNTS:
-                v = kvec.word_vector(t)
-                m[t] = (True, float(np.linalg.norm(v)), False,
-                        [float(x) for x in v])
-            else:
-                m[t] = (False, 0.0, True, [])
-        out.append(m)
-    return pd.Series(out)
+    return pd.Series([dict(kvec.word_vectors_doc(t)) for t in clean])
 
 
 def make_categories_udf(head_fn=None):
@@ -293,11 +272,17 @@ def make_store_doc_vector_udf(store_name: str, aggregation: str = "mean"):
 
 def lsh_bands_col(minhash_col, bands: int = 16):
     """Native band hashes from a minhash signature column: slice + hash —
-    no second UDF pass over the text."""
+    no second UDF pass over the text. 64-bit xxhash64 keys: the 32-bit
+    murmur F.hash saturates around ~77k distinct band values (birthday
+    bound), which at billions of documents floods the band self-join
+    with false candidates that verification must pay to reject. Banding
+    is an engine blocking detail, not kernel spec — the parity goldens
+    deliberately compare band-SLICE equality, which any correct hash of
+    the slice preserves."""
     rows = kmh.NUM_PERM // bands
     return F.array(
         *[
-            F.hash(F.lit(i), F.slice(minhash_col, i * rows + 1, rows)).cast("long")
+            F.xxhash64(F.lit(i), F.slice(minhash_col, i * rows + 1, rows))
             for i in range(bands)
         ]
     )
