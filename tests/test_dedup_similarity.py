@@ -203,6 +203,19 @@ def test_drop_boilerplate_lines(spark):
     }
     assert out2 == {1: 0, 2: 0}
 
+    # NULL id and NULL text survive intact (null-safe join, coalesced text)
+    df3 = spark.createDataFrame(
+        [(None, "keep\nme"), (9, None)], "doc_id long, content string"
+    )
+    got3 = {
+        r["doc_id"]: (r["content"], r["n_lines_removed"])
+        for r in drop_boilerplate_lines(
+            df3, "content", "doc_id", max_df=2
+        ).collect()
+    }
+    assert got3[None] == ("keep\nme", 0)
+    assert got3[9] == ("", 0)
+
 
 def test_knn_zero_norm_query_excluded(spark):
     """A zero-norm query vector must emit NO vote row (both tiers — the
@@ -240,3 +253,59 @@ def test_blocked_tiers_generic_id_types(spark):
     got = knn_join_label(vecs, queries, k=2, n_blocks=2).collect()
     assert len(got) == 1 and got[0]["query_id"] == "q1"
     assert got[0]["knn_label"] in ("x", "y")
+
+
+def test_empty_docs_not_near_dup_clique(spark):
+    """Token-less docs (all sharing the empty MinHash signature / SimHash
+    0) must NOT pair with each other — they'd otherwise form an all-pairs
+    clique of unrelated documents; exact_dedup is the tier for empties."""
+    from textpipe_spark.dedup import minhash_lsh_pairs, simhash_near_dup_pairs
+
+    rows = [
+        (1, "..."),                 # no RE_WORD tokens
+        (2, "!!! ???"),             # no tokens either
+        (3, ""),                    # empty
+        (4, "real content with several words to shingle " * 5),
+        (5, "real content with several words to shingle " * 5 + "tail"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    mh = minhash_lsh_pairs(df, "text", "doc_id", threshold=0.5).collect()
+    mh_pairs = {(r["id1"], r["id2"]) for r in mh}
+    assert all({a, b} <= {4, 5} for a, b in mh_pairs), mh_pairs
+    assert (4, 5) in mh_pairs          # real near-dups still found
+    sh = simhash_near_dup_pairs(df, "text", "doc_id", max_hamming=3).collect()
+    sh_pairs = {(r["id1"], r["id2"]) for r in sh}
+    assert all({a, b} <= {4, 5} for a, b in sh_pairs), sh_pairs
+
+
+def test_simhash_generalized_chunk_blocking(spark):
+    """Blocking must stay COMPLETE for max_hamming > 3: d+1 chunks ensure
+    any pair within distance d shares one exact chunk (pigeonhole). Verify
+    against the exhaustive kernel answer on a small corpus."""
+    from itertools import combinations
+
+    from textpipe_spark.dedup import simhash_near_dup_pairs
+    from textpipe_spark.kernel import clean as kclean
+    from textpipe_spark.kernel import minhash as kmh
+
+    rows = [
+        (i, f"shared base words alpha beta gamma delta {w}")
+        for i, w in enumerate(
+            ["x", "y", "z", "xx", "yy", "zz", "alpha", "beta", "gamma", "omega"]
+        )
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for mh_limit in (3, 7, 10):
+        got = {
+            (r["id1"], r["id2"]): r["hamming"]
+            for r in simhash_near_dup_pairs(
+                df, "text", "doc_id", max_hamming=mh_limit
+            ).collect()
+        }
+        sh = {i: kmh.simhash_text(t) for i, t in rows}
+        want = {
+            (a, b): kmh.hamming64(sh[a], sh[b])
+            for a, b in combinations(sorted(sh), 2)
+            if kmh.hamming64(sh[a], sh[b]) <= mh_limit
+        }
+        assert got == want, (mh_limit, got, want)

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import udfs
-from .kernel.minhash import NUM_PERM
+from .kernel.minhash import NUM_PERM, empty_signature as kmh_empty
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -69,6 +69,13 @@ def minhash_lsh_pairs(
             .select(id_col, "minhash")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+    # token-less docs (non-Latin scripts, punctuation-only, NULL text)
+    # all share the EMPTY signature [MAX32]*128 — without this filter
+    # they form an all-pairs clique (quadratic band join) and
+    # mass-"dedup" unrelated documents at jaccard_est = 1.0. Near-dup
+    # semantics are undefined on an empty shingle set; exact_dedup is
+    # the right tier for byte-identical empties.
+    sig = sig.where(F.col("minhash") != F.array(*[F.lit(v) for v in kmh_empty()]))
     # band join carries ONLY (id, band) — the 128-int signatures rejoin
     # after pair dedup, so the shuffled band rows stay ~16 bytes each.
     banded = sig.select(
@@ -172,7 +179,10 @@ def fingerprint_overlap_pairs(
         .where(F.col("_df") > df_cap)
         .select("fp")
     )
-    t = exploded.join(F.broadcast(common), "fp", "left_anti")
+    # un-hinted anti-join: AQE broadcasts the over-cap set while it fits
+    # and falls back to a shuffle when a boilerplate-heavy corpus makes
+    # it large (a forced broadcast bypasses the size check and can OOM)
+    t = exploded.join(common, "fp", "left_anti")
     # per-doc sizes AFTER the rarity filter — numerator and denominator
     # count the same fingerprint population (the jaccard_pairs convention);
     # sizing before the filter underestimated containment for
@@ -208,25 +218,33 @@ def fingerprint_overlap_pairs(
 def simhash_near_dup_pairs(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
 ) -> DataFrame:
-    """SimHash near-dup candidates: block on each of 4 16-bit chunks (a pair
-    within Hamming distance 3 of 64 bits shares at least one exact chunk by
-    pigeonhole), verify with native bit_count."""
+    """SimHash near-dup candidates: block on max_hamming+1 bit chunks (a
+    pair within Hamming distance d of 64 bits shares at least one exact
+    chunk among d+1 by pigeonhole — at the default d=3 that is the
+    classic 4 x 16-bit blocking), verify with native bit_count. Docs
+    with zero tokens all simhash to 0 and are EXCLUDED (they would form
+    an all-pairs clique of unrelated documents; a real doc hits 0 only
+    if its sha1 accumulator is all-negative — ~2^-64)."""
     from pyspark import StorageLevel
 
+    n_chunks = int(max_hamming) + 1
+    width = 64 // n_chunks
     # persist: both self-join sides would otherwise re-run the simhash UDF
     # (and the clean chain feeding it); 16 bytes per doc cached
     sim = df.select(
         id_col, udfs.simhash_udf(F.col(text_col)).alias("simhash")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).where(F.col("simhash") != 0).persist(StorageLevel.MEMORY_AND_DISK)
     chunks = F.array(
         *[
             F.struct(
                 F.lit(i).alias("chunk_idx"),
-                F.shiftright(F.col("simhash"), i * 16)
-                .bitwiseAND(F.lit(0xFFFF))
+                F.shiftright(F.col("simhash"), i * width)
+                .bitwiseAND(
+                    F.lit((1 << (64 - i * width if i == n_chunks - 1 else width)) - 1)
+                )
                 .alias("chunk"),
             )
-            for i in range(4)
+            for i in range(n_chunks)
         ]
     )
     blocked = sim.select(
@@ -274,13 +292,21 @@ def drop_boilerplate_lines(
     the boilerplate side is bounded by corpus-distinct boilerplate keys,
     not corpus size.
     """
+    from pyspark import StorageLevel
+
     # NULL text explodes to zero rows but size(split(NULL)) is -1 —
     # normalise once so n_lines_removed stays well-defined
     df = df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+    # persist the exploded line table: it fans out to the df-count
+    # aggregate, the anti-join probe side and the per-doc original-line
+    # counts — without the cache the split/trim (and the caller's
+    # upstream plan) re-runs once per consumer
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("_pos", "_line"),
-    ).withColumn("_key", F.btrim(F.col("_line"), F.lit(" \t")))
+    ).withColumn("_key", F.btrim(F.col("_line"), F.lit(" \t"))).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     boiler = (
         lines.where(F.col("_key") != "")
         .select("_key", id_col)
@@ -301,11 +327,21 @@ def drop_boilerplate_lines(
         ).alias("_rebuilt"),
         F.count("*").alias("_kept_lines"),
     )
-    orig = df.withColumn(
-        "_orig_lines", F.size(F.split(F.col(text_col), "\n", -1))
-    )
+    # original line counts from the SAME persisted line table (every doc
+    # has >= 1 exploded row — '' splits to ['']) instead of a third scan.
+    # Join keys are RENAMED before joining: both sides descend from df, so
+    # df[id_col]-style references would resolve ambiguously (self-join
+    # lineage trap); eqNullSafe keeps NULL-id rows matched to their own
+    # aggregates instead of silently losing their text.
+    orig_counts = lines.groupBy(id_col).agg(
+        F.count("*").alias("_orig_lines")
+    ).withColumnRenamed(id_col, "_oc_id")
+    reassembled = reassembled.withColumnRenamed(id_col, "_rb_id")
     return (
-        orig.join(reassembled, id_col, "left")
+        df.join(orig_counts, F.col(id_col).eqNullSafe(F.col("_oc_id")))
+        .drop("_oc_id")
+        .join(reassembled, F.col(id_col).eqNullSafe(F.col("_rb_id")), "left")
+        .drop("_rb_id")
         .withColumn(
             "n_lines_removed",
             (

@@ -122,15 +122,7 @@ def nonprintable_ratio_col(raw: Column) -> Column:
 
 
 def repeated_line_fraction_col(raw: Column) -> Column:
-    lines = F.split(raw, "\n")
-    # btrim == kernel ln.strip(" \t"): byte-level, no per-line regex engine
-    trimmed = F.transform(lines, lambda s: F.btrim(s, F.lit(" \t")))
-    nonempty = F.filter(trimmed, lambda s: s != F.lit(""))
-    total = F.size(nonempty)
-    distinct = F.size(F.array_distinct(nonempty))
-    return F.when(total == 0, F.lit(0.0)).otherwise(
-        F.lit(1.0) - distinct.cast("double") / total.cast("double")
-    )
+    return repeated_line_fraction_from_lines(nonempty_lines_col(raw))
 
 
 def mean_word_length_col(clean: Column) -> Column:

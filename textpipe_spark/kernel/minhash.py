@@ -131,6 +131,13 @@ def _count(tokens: list[str]) -> dict[str, int]:
     return d
 
 
+def empty_signature(num_perm: int = NUM_PERM) -> list[int]:
+    """The MinHash signature of an EMPTY shingle set: [MAX32] * num_perm
+    (no shingle ever lowered any slot). Token-less docs all share it, so
+    dedup tiers exclude exactly this constant from banding."""
+    return [_MAX32] * num_perm
+
+
 def simhash_text(text: str) -> int:
     """SimHash over lowercased RE_WORD tokens — THE simhash tokenization
     (kernel-is-spec): every consumer (Spark UDF, doc kernel, parity

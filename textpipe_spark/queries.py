@@ -2390,6 +2390,10 @@ def q_lsh_pairs_parity(spark, sf_dir):
         for pdf in it:
             texts.extend(zip(pdf["doc_id"], pdf["_raw"]))
         sigs = {int(i): kmh.minhash_text(kclean.clean_text(t)) for i, t in texts}
+        # mirror the distributed tier: empty-shingle-set docs (signature
+        # == empty_signature()) are excluded from banding
+        empty = kmh.empty_signature()
+        sigs = {i: s_ for i, s_ in sigs.items() if s_ != empty}
         bands, rows = 16, kmh.NUM_PERM // 16
         buckets: dict = {}
         for i, sig in sigs.items():
@@ -2449,6 +2453,9 @@ def q_simhash_pairs_parity(spark, sf_dir):
             )
             for i, t in texts
         }
+        # mirror the distributed tier: zero-token docs simhash to 0 and
+        # are excluded from blocking
+        sh = {i: h for i, h in sh.items() if h != 0}
         buckets: dict = {}
         for i, h in sh.items():
             for c in range(4):
@@ -2699,6 +2706,11 @@ def q_streaming_replay_parity(spark, sf_dir):
             rows.extend(zip(pdf["doc_id"], pdf["content"], pdf["_did"], pdf["_ep"]))
         sig = {int(d): kmh.minhash_text(t or "") for d, t, _, _ in rows}
         did = {int(d): int(h) for d, _, h, _ in rows}
+        # mirror the distributed tier: empty-signature docs are excluded
+        # from banding on both the probe and the index side (they are
+        # KEPT, just never near-dup candidates)
+        _empty = kmh.empty_signature()
+        bandable = {d for d, s_ in sig.items() if s_ != _empty}
 
         def slices(s_):
             return [
@@ -2717,7 +2729,8 @@ def q_streaming_replay_parity(spark, sf_dir):
             hist = {
                 d
                 for d in batch
-                if any(
+                if d in bandable
+                and any(
                     dup(d, c)
                     for key in slices(sig[d])
                     for c in index_bands.get(key, ())
@@ -2725,8 +2738,9 @@ def q_streaming_replay_parity(spark, sf_dir):
             }
             batch_bands: dict = {}
             for d in batch:
-                for key in slices(sig[d]):
-                    batch_bands.setdefault(key, []).append(d)
+                if d in bandable:
+                    for key in slices(sig[d]):
+                        batch_bands.setdefault(key, []).append(d)
             losers = set()
             for ds in batch_bands.values():
                 for i in range(len(ds)):
@@ -2739,8 +2753,9 @@ def q_streaming_replay_parity(spark, sf_dir):
             for d in batch:
                 if d not in hist and d not in losers:
                     kept_out.append((d, ep))
-                    for key in slices(sig[d]):
-                        index_bands.setdefault(key, []).append(d)
+                    if d in bandable:
+                        for key in slices(sig[d]):
+                            index_bands.setdefault(key, []).append(d)
         yield pd.DataFrame(kept_out, columns=["doc_id", "g_epoch"])
 
     golden = (

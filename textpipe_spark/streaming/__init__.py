@@ -228,8 +228,15 @@ def process_near_dup_batch(
     try:
         # slim band rows ONLY (the 128-long signature would otherwise be
         # duplicated 16x through the index join shuffle — dedup.py's own
-        # band join carries ~16 B rows and rejoins signatures afterwards)
-        banded = sig.select(
+        # band join carries ~16 B rows and rejoins signatures afterwards).
+        # Empty-signature docs (zero shingles) are excluded from banding
+        # on both the probe and index side — they would form an all-pairs
+        # clique of unrelated empties (dedup.minhash_lsh_pairs rationale);
+        # they are still KEPT and written to the sink.
+        from ..kernel.minhash import empty_signature
+
+        _empty_sig = F.array(*[F.lit(v) for v in empty_signature()])
+        banded = sig.where(F.col("minhash") != _empty_sig).select(
             F.col("_did"),
             F.posexplode(udfs.lsh_bands_col(F.col("minhash"), bands)).alias(
                 "band_idx", "band_hash"
@@ -314,7 +321,8 @@ def process_near_dup_batch(
                 .parquet(out_dir)
             )
             (
-                kept.select(
+                kept.where(F.col("minhash") != _empty_sig)
+                .select(
                     F.col("_epoch"),
                     F.posexplode(
                         udfs.lsh_bands_col(F.col("minhash"), bands)
