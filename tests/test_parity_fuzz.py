@@ -14,7 +14,10 @@ from textpipe_spark.kernel.rules import RuleConfig
 
 ALPHABETS = (
     "abcdefghij STUVWXYZ0123456789_.,!?'\"<>&;:/\\\n\t\xa0​…“”‘’„"
-    "\x03\x07\x7f@-+=#éüñ的是了 "
+    # fold-hazard chars: Python/RE2 (?i)-style Unicode folding maps them
+    # into ASCII letter classes where Java does not — the scrub/langid
+    # patterns must behave identically regardless (no (?i) anywhere)
+    "\x03\x07\x7f@-+=#éüñ的是了\u017f\u212a\u0131 "
 )
 
 snippets = st.text(alphabet=ALPHABETS, min_size=0, max_size=120)
@@ -42,6 +45,10 @@ injections = st.sampled_from(
         # guard-consumption case)
         "1.2.3.4 5.6.7.8",
         "fuck fuck fuck fuck",
+        "FUCKing Shit\u017f",          # case + fold-hazard suffix boundary
+        "refused from 93.184.216.34.",  # sentence-final IP must scrub
+        "v 1.2.3.4.5 stays",            # version string must NOT
+        "fe80:1:2:3:4: done",
         "a@b.co c@d.co",
         "fe80:1:2:3:4 fe80:5:6:7:8",
         "the and of to in is",

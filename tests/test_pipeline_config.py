@@ -175,3 +175,46 @@ def test_stopword_union_prefilter_exact(spark):
         ],
     )
     assert sorted(map(tuple, full.collect())) == sorted(map(tuple, fast.collect()))
+
+
+def test_null_content_dropped_like_kernel(spark):
+    """A NULL content row must follow the kernel's `raw or ''` coercion:
+    keep=False/too_short — not a NULL-cascade fall-through to keep=True."""
+    from pyspark.sql import functions as F
+
+    from textpipe_spark.pipeline import PipelineConfig, build
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "real content with enough words to pass the gate ok")],
+        "doc_id long, content string",
+    )
+    got = {r["doc_id"]: (r["keep"], r["drop_reason"])
+           for r in build(df, PipelineConfig()).collect()}
+    assert got[1] == (False, "too_short")
+    assert got[2][0] is True
+
+
+def test_decide_without_langid_or_scrub(spark):
+    """decide must tolerate configs omitting langid/scrub (lang unused
+    when allowed_langs is empty; scrub hits default 0)."""
+    from textpipe_spark.pipeline import PipelineConfig, build
+
+    df = spark.createDataFrame(
+        [(1, "plenty of ordinary words to pass every configured rule here")],
+        "doc_id long, content string",
+    )
+    out = build(df, PipelineConfig(steps=["clean", "token_stats", "decide"]))
+    r = out.collect()[0]
+    assert r["keep"] is True and r["drop_reason"] == ""
+
+
+def test_lang_model_reliable_exported(spark):
+    from textpipe_spark.pipeline import PipelineConfig, build
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog in the house")],
+        "doc_id long, content string",
+    )
+    out = build(df, PipelineConfig(steps=["clean", "langid_model", "perplexity"]))
+    assert "lang_model_reliable" in out.columns
+    assert out.collect()[0]["lang_model_reliable"] is not None

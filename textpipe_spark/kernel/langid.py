@@ -37,15 +37,6 @@ UNKNOWN = "un"
 RELIABLE_MARGIN = 2  # top count must beat runner-up by >= margin
 
 
-def stopword_pattern(lang: str) -> str:
-    """Tri-dialect regex counting stopword hits (case-insensitive) — the
-    one-shot form used by standalone queries; the pipeline counts from the
-    materialised token array instead (same spec: a hit is a whole RE_WORD
-    token equal to a stopword)."""
-    alt = "|".join(STOPWORDS[lang])
-    return rf"(?i)\b(?:{alt})\b"
-
-
 def stopword_count(tokens_lower: list[str], lang: str) -> int:
     sw = _SW_SETS[lang]
     return sum(1 for t in tokens_lower if t in sw)

@@ -54,8 +54,10 @@ and the tri-engine fuzz in tests/test_parity_fuzz.py. Hit counts:
 single-pass count (kernel/Spark) == summed two-pass count (oracle).
 
 Remaining dialect rules follow ``clean.py`` (no \\p{}, explicit
-whitespace classes, (?i) only as a whole-pattern prefix: Python 3.11
-rejects mid-pattern global flags).
+whitespace classes). ``(?i)`` is FORBIDDEN like ``\\b``: Java's (?i)
+folds ASCII only while Python re and RE2 fold Unicode ('\u017f'
+matches s, '\u212a' matches k) — spell case-insensitive literals as
+explicit [Xx] classes (toxicity step, rules.RE_LOREM).
 """
 
 from __future__ import annotations
@@ -93,9 +95,14 @@ class ScrubStep(NamedTuple):
     #            must contain no capturing groups (use (?:...))
     token: str  # replacement token, e.g. "<IP>"
     guarded: bool  # wrap in ASCII boundary idiom (module doc)
-    flags: str = ""  # whole-pattern prefix, e.g. "(?i)"
+    flags: str = ""  # whole-pattern prefix (must be dialect-identical)
     extra_boundary: str = ""  # body-internal separators excluded from the
     #            boundary class (module doc: sub-match poisoning)
+    trail_cont: str = ""  # with extra_boundary: the char class that makes
+    #            a trailing separator a RUN CONTINUATION ("1.2.3.4.5"),
+    #            vs ordinary punctuation ("...from 10.0.0.1."). When set,
+    #            the trail guard blocks only separator-then-cont — a
+    #            sentence-final separator no longer shields the match.
 
 
 # ORDER IS SEMANTICS.
@@ -112,6 +119,7 @@ SCRUB_STEPS: list[ScrubStep] = [
         "<IP>",
         guarded=True,
         extra_boundary=":",
+        trail_cont="0-9A-Fa-f",
     ),
     ScrubStep(
         "ipv4",
@@ -119,6 +127,7 @@ SCRUB_STEPS: list[ScrubStep] = [
         "<IP>",
         guarded=True,
         extra_boundary=".",
+        trail_cont="0-9",
     ),
     ScrubStep(
         "aws_key",
@@ -146,11 +155,22 @@ SCRUB_STEPS: list[ScrubStep] = [
     ),
     ScrubStep(
         "toxicity",
-        r"(?:fuck[a-z]*|shit[a-z]*|bitch[a-z]*|asshole[a-z]*|bastard[a-z]*|cunt[a-z]*|"
-        r"nigger[a-z]*|faggot[a-z]*)",
+        # ASCII case-insensitivity via EXPLICIT per-char classes, not
+        # (?i): Java's (?i) is ASCII-only while Python re and RE2 fold
+        # Unicode ('\u017f' matches s, '\u212a' matches k, '\u0131'
+        # matches i) — a VERIFIED kernel/Spark scrubbed-sha divergence.
+        # Same treatment as rules.RE_LOREM.
+        "(?:"
+        + "|".join(
+            "".join(f"[{c.upper()}{c}]" for c in w) + "[A-Za-z]*"
+            for w in (
+                "fuck", "shit", "bitch", "asshole", "bastard", "cunt",
+                "nigger", "faggot",
+            )
+        )
+        + ")",
         "<TOX>",
         guarded=True,
-        flags="(?i)",
     ),
 ]
 
@@ -160,19 +180,38 @@ SCRUB_NAMES = [s.name for s in SCRUB_STEPS]
 def full_pattern(step: ScrubStep) -> str:
     """Python/Java pattern (the kernel spec and the Spark hot path):
     zero-width ASCII lookaround boundaries, SINGLE pass, replacement is
-    the bare token."""
+    the bare token. With ``trail_cont`` the trail guard is two
+    lookaheads — not-a-word-char AND not separator-then-continuation —
+    so "refused from 10.0.0.1." scrubs (sentence-final '.') while
+    "1.2.3.4.5" stays a version string."""
     if step.guarded:
         e = step.extra_boundary
-        return f"{step.flags}{look_lead(e)}(?:{step.body}){look_trail(e)}"
+        if e and step.trail_cont:
+            trail = (
+                rf"(?![{WORD_CLASS}])(?!{re.escape(e)}[{step.trail_cont}])"
+            )
+        else:
+            trail = look_trail(e)
+        return f"{step.flags}{look_lead(e)}(?:{step.body}){trail}"
     return f"{step.flags}{step.body}"
 
 
 def re2_pattern(step: ScrubStep) -> str:
     """RE2/DuckDB pattern (no lookaround): consuming ASCII guard — must be
-    applied re2_passes() times with duckdb_replacement()."""
+    applied re2_passes() times with duckdb_replacement(). The
+    ``trail_cont`` trail consumes up to TWO chars (separator + one
+    non-continuation char) and re-emits them via the group-3 backref —
+    case-equivalent to full_pattern's two lookaheads: end, non-word
+    non-separator, or separator-not-followed-by-continuation all pass;
+    word char or separator+continuation block (same truth table)."""
     if step.guarded:
         e = step.extra_boundary
-        return f"{step.flags}{guard_lead(e)}({step.body}){guard_trail(e)}"
+        if e and step.trail_cont:
+            sep = re.escape(e)
+            trail = rf"($|[^{WORD_CLASS}{e}]|{sep}(?:$|[^{step.trail_cont}]))"
+        else:
+            trail = guard_trail(e)
+        return f"{step.flags}{guard_lead(e)}({step.body}){trail}"
     return f"{step.flags}{step.body}"
 
 

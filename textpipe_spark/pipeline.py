@@ -219,66 +219,67 @@ def scrub_chain(
     doesn't need. Counts equal the kernel's sequential ``subn`` counts
     row-for-row (tests/test_spark_parity.py).
     """
-    from .kernel import scrub as kscrub
-
-    prev = text_col
-    hit_names = []
-    for i, step in enumerate(kscrub.SCRUB_STEPS):
-        pat = kscrub.full_pattern(step)
-        cur = f"{prefix}scrub_t{i}"
-        replaced = F.regexp_replace(F.col(prev), pat, step.token)
-        gate = X.scrub_trigger_col(F.col(prev), step)
-        hits = (
-            X.token_occurrences_col(F.col(cur), step.token)
-            - X.token_occurrences_col(F.col(prev), step.token)
-        )
-        if gate is not None:
-            # materialise the trigger ONCE (CASE disables CSE, so an inline
-            # gate would re-scan its contains tests for text AND hits), then
-            # skip BOTH the regex pass and the 4 occurrence byte-scans when
-            # the necessary substring is absent. NULL text keeps NULL hits
-            # (gate is NULL then), matching the ungated steps' NULL algebra.
-            g = f"{prefix}scrub_g{i}"
-            df = df.withColumn(g, gate)
-            replaced = F.when(F.col(g), replaced).otherwise(F.col(prev))
-            df = df.withColumn(cur, replaced)
-            hits = F.when(F.col(g), hits).otherwise(
-                F.when(F.col(prev).isNull(), F.lit(None)).otherwise(F.lit(0))
-                .cast("long")
-            )
-            df = df.withColumn(f"{prefix}{step.name}_hits", hits).drop(g)
-        else:
-            df = df.withColumn(cur, replaced)
-            df = df.withColumn(f"{prefix}{step.name}_hits", hits)
-        if prev != text_col:
-            df = df.drop(prev)
-        hit_names.append(f"{prefix}{step.name}_hits")
-        prev = cur
-    return df, hit_names, prev
+    return _scrub_chain_impl(df, text_col, prefix, count_hits=True)
 
 
 def scrub_text_chain(
     df: DataFrame, text_col: str = "clean", prefix: str = "_"
 ) -> tuple[DataFrame, str]:
     """Replace-only scrub chain (no per-step hit counting): the gated
-    regexp passes of ``scrub_chain`` without any occurrence scans. Each
-    trigger gate is referenced exactly once here, so it inlines without
-    re-evaluation. Returns (df, scrubbed_text_col)."""
+    regexp passes of ``scrub_chain`` without any occurrence scans.
+    Returns (df, scrubbed_text_col)."""
+    df, _hits, final = _scrub_chain_impl(df, text_col, prefix, count_hits=False)
+    return df, final
+
+
+def _scrub_chain_impl(
+    df: DataFrame, text_col: str, prefix: str, count_hits: bool
+) -> tuple[DataFrame, list[str], str]:
+    """ONE chaining protocol for both variants — gating, state-column
+    naming and NULL algebra cannot drift between the counted and the
+    replace-only path. Without hit counting each trigger gate is
+    referenced exactly once, so it inlines (no gate column materialised);
+    with counting the gate is materialised first (CASE disables CSE, so
+    an inline gate would re-scan its contains tests for text AND hits)."""
     from .kernel import scrub as kscrub
 
     prev = text_col
+    hit_names: list[str] = []
     for i, step in enumerate(kscrub.SCRUB_STEPS):
         pat = kscrub.full_pattern(step)
         cur = f"{prefix}scrub_t{i}"
         replaced = F.regexp_replace(F.col(prev), pat, step.token)
         gate = X.scrub_trigger_col(F.col(prev), step)
-        if gate is not None:
-            replaced = F.when(gate, replaced).otherwise(F.col(prev))
-        df = df.withColumn(cur, replaced)
+        if not count_hits:
+            if gate is not None:
+                replaced = F.when(gate, replaced).otherwise(F.col(prev))
+            df = df.withColumn(cur, replaced)
+        else:
+            hits = (
+                X.token_occurrences_col(F.col(cur), step.token)
+                - X.token_occurrences_col(F.col(prev), step.token)
+            )
+            if gate is not None:
+                # skip BOTH the regex pass and the 4 occurrence byte-scans
+                # when the necessary substring is absent. NULL text keeps
+                # NULL hits (gate is NULL then), matching ungated steps.
+                g = f"{prefix}scrub_g{i}"
+                df = df.withColumn(g, gate)
+                replaced = F.when(F.col(g), replaced).otherwise(F.col(prev))
+                df = df.withColumn(cur, replaced)
+                hits = F.when(F.col(g), hits).otherwise(
+                    F.when(F.col(prev).isNull(), F.lit(None)).otherwise(F.lit(0))
+                    .cast("long")
+                )
+                df = df.withColumn(f"{prefix}{step.name}_hits", hits).drop(g)
+            else:
+                df = df.withColumn(cur, replaced)
+                df = df.withColumn(f"{prefix}{step.name}_hits", hits)
+            hit_names.append(f"{prefix}{step.name}_hits")
         if prev != text_col:
             df = df.drop(prev)
         prev = cur
-    return df, prev
+    return df, hit_names, prev
 
 
 def _step_scrub(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -320,13 +321,22 @@ def _step_decide(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
               "mean_word_length"):
         if k in df.columns:
             stats[k] = F.col(k)
+    # langid/scrub are optional steps: a config without them must not
+    # crash with an unresolved-column error — the cascade sees NULL lang
+    # (passes unless allowed_langs is set) and 0 scrub hits
+    lang = F.col("_lid.lang") if "_lid" in df.columns else F.lit(None).cast("string")
+    hits = (
+        F.col("_scrub.total_hits")
+        if "_scrub" in df.columns
+        else F.lit(0).cast("long")
+    )
     return df.withColumn(
         "_decision",
         X.decision_struct_col(
             F.col(cfg.raw_col),
             F.col("clean"),
-            F.col("_lid.lang"),
-            F.col("_scrub.total_hits"),
+            lang,
+            hits,
             cfg.rules,
             **stats,
         ),
@@ -352,7 +362,11 @@ def register_operation(name: str, fn: StepFn) -> None:
     OPERATIONS[name] = fn
 
 
-_BUILD_SEQ = 0
+import itertools as _itertools
+
+_BUILD_SEQ = _itertools.count()  # thread-safe-enough unique observe names
+#            (C-level next(); concurrent build() calls — streaming +
+#            batch — must not mint duplicate observed-metrics names)
 
 
 def build(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
@@ -373,8 +387,11 @@ def build(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
     BEFORE build(), not after (they no longer reach the scan through this
     boundary).
     """
-    global _BUILD_SEQ
     cfg = cfg or PipelineConfig()
+    # mirror the kernel's `len(raw or '')` coercion: a NULL content row
+    # would NULL every cascade condition and fall through to keep=true,
+    # where the kernel drops it as too_short — a verified parity break
+    df = df.withColumn(cfg.raw_col, F.coalesce(F.col(cfg.raw_col), F.lit("")))
     steps = list(cfg.steps)
     # fuse the two model UDF steps into one Arrow round-trip when both are
     # configured with their DEFAULT implementations (a register_operation
@@ -408,6 +425,7 @@ def build(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
     if "_lid_model" in df.columns:
         flat["lang_model"] = F.col("_lid_model.lang")
         flat["lang_model_conf"] = F.col("_lid_model.conf")
+        flat["lang_model_reliable"] = F.col("_lid_model.reliable")
     if "_scrub" in df.columns:
         flat["scrubbed"] = F.col("_scrub.text")
         flat["scrub_hits"] = F.col("_scrub.total_hits")
@@ -417,9 +435,9 @@ def build(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
         flat["drop_reason"] = F.col("_decision.drop_reason")
     df = df.withColumns(flat)
     df = df.drop("_lid", "_lid_model", "_scrub", "_decision", "_words")
-    _BUILD_SEQ += 1
+    seq = next(_BUILD_SEQ)
     return df.observe(
-        f"textpipe_build_{_BUILD_SEQ}", F.count(F.lit(1)).alias("files_in")
+        f"textpipe_build_{seq}", F.count(F.lit(1)).alias("files_in")
     )
 
 
