@@ -410,9 +410,9 @@ def q_lead_sentences(spark, sf_dir):
 SQL_LEAD_SENTENCES = f"""
 WITH base AS (SELECT doc_id, {O.sent_mask_sql(CLEAN)} AS masked FROM documents)
 SELECT doc_id,
-       array_to_string(list_filter(list_transform(
+       coalesce(array_to_string(list_filter(list_transform(
            regexp_split_to_array(masked, {sql_lit(ktok.RE_SENT_SPLIT)}),
-           s -> replace(trim(s, ' '), chr(1), '.')), s -> s != '')[1:3], ' | ') AS lead3
+           s -> replace(trim(s, ' '), chr(1), '.')), s -> s != '')[1:3], ' | '), '') AS lead3
 FROM base
 """
 
@@ -624,8 +624,15 @@ def _shingles_from_tokens(toks):
             F.element_at(toks, i + 2),
         ),
     )
+    # kernel parity (minhash.shingles:87): zero-token docs shingle to [],
+    # NOT [''] — an '' shingle would near-dup-pair every empty doc with
+    # every other (the empty-doc-clique bug the dedup tiers also guard
+    # against). Tokens are non-empty by construction, so the filter only
+    # ever removes the n=0 join result.
     return F.array_distinct(
-        F.when(n >= 3, tri).otherwise(F.array(F.array_join(toks, " ")))
+        F.when(n >= 3, tri).otherwise(
+            F.filter(F.array(F.array_join(toks, " ")), lambda s: s != "")
+        )
     )
 
 
@@ -698,7 +705,8 @@ shingled AS (
          list_distinct(CASE WHEN len(t) >= 3
            THEN list_transform(range(1, len(t) - 1),
                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-           ELSE [array_to_string(t, ' ')] END) AS sh
+           WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+           ELSE [] END) AS sh
   FROM toklist),
 toks_all AS (SELECT doc_id, unnest(sh) AS token FROM shingled),
 rare AS (SELECT token FROM toks_all GROUP BY 1 HAVING count(*) <= {JACCARD_DF_CAP}),
@@ -1596,8 +1604,8 @@ toks AS (SELECT doc_id, unnest(
   ) AS token FROM base),
 pairs AS (SELECT doc_id, token, count(token) AS cnt FROM toks GROUP BY 1, 2)
 SELECT doc_id,
-       array_to_string(list_sort(list(CASE WHEN token IS NOT NULL
-            THEN token || ':' || CAST(cnt AS VARCHAR) END)), ',') AS word_counts
+       coalesce(array_to_string(list_sort(list(CASE WHEN token IS NOT NULL
+            THEN token || ':' || CAST(cnt AS VARCHAR) END)), ','), '') AS word_counts
 FROM pairs GROUP BY doc_id
 """
 
@@ -1729,14 +1737,14 @@ tk AS (SELECT doc_id,
           string_split_regex(clean, {sql_lit(ktok.RE_WORD)}) AS seps
        FROM base)
 SELECT doc_id,
-  array_to_string(
+  coalesce(array_to_string(
     list_transform(range(1, len(toks)+1),
       k -> toks[k] || ':' ||
            CAST(
              coalesce(list_sum(list_transform(seps[1:k], s -> length(s))), 0)
              + coalesce(list_sum(list_transform(toks[1:k-1], t -> length(t))), 0)
            AS VARCHAR)),
-    ',') AS words
+    ','), '') AS words
 FROM tk
 """
 
@@ -1776,7 +1784,7 @@ rend AS (SELECT doc_id,
            END),
     x -> x IS NOT NULL) AS parts
   FROM tk)
-SELECT doc_id, array_to_string(parts, chr(30)) AS sentences
+SELECT doc_id, coalesce(array_to_string(parts, chr(30)), '') AS sentences
 FROM rend
 """
 
