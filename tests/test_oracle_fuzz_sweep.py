@@ -209,6 +209,100 @@ def test_parity_goldens_on_fuzz_corpus(spark, fuzz_dir, name):
         assert not mism, f"{name}: non-zero mismatches {mism} in {row}"
 
 
+# --- adversarial EMBEDDINGS table: same driver-mimic compare for the
+# vector queries. Conventions baked into the queries: 64-dim, vec_id 0
+# is ann_topk's query, 0-2 are the IVF-parity queries, 0-4 the kNN
+# queries, corpus is the rest. Adversaries: a zero QUERY (id 2), a zero
+# corpus row, exact duplicates under different labels (vote ties +
+# cosine-1.0 ties at the top-k boundary), negated/scaled copies, a
+# tight cluster (IVF cell concentration), a tiny-magnitude row, and a
+# corpus row identical to the query. ---
+
+EMB_DIM = 64
+EMB_N = 72
+
+
+def _fuzz_vectors():
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    m = rng.normal(size=(EMB_N, EMB_DIM)).astype(np.float32)
+    b0 = m[10].copy()
+    m[1] = m[10]            # query identical to a corpus row
+    m[2] = 0.0              # zero-norm QUERY
+    center = m[5].copy()
+    for i in range(6, 10):  # tight cluster
+        m[i] = center + rng.normal(scale=0.01, size=EMB_DIM).astype(np.float32)
+    m[11] = b0              # exact dups of b0, labels differ
+    m[12] = b0
+    m[13] = -b0             # cosine -1
+    m[14] = 2.0 * b0        # cosine 1, different norm
+    m[15] = 0.5 * b0
+    m[16] = 0.0             # zero-norm corpus row
+    m[17] = (1e-6 * rng.normal(size=EMB_DIM)).astype(np.float32)
+    labels = rng.integers(0, 10, size=EMB_N).astype("int32")
+    labels[10], labels[11], labels[12] = 1, 2, 2
+    return m, labels
+
+
+@pytest.fixture(scope="module")
+def emb_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    m, labels = _fuzz_vectors()
+    d = tmp_path_factory.mktemp("fuzz_emb")
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(EMB_N), type=pa.int64()),
+            "embedding": pa.array(
+                [row.tolist() for row in m], type=pa.list_(pa.float32())
+            ),
+            "label": pa.array(labels.tolist(), type=pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(d / "embeddings.parquet"), row_group_size=32)
+    return str(d)
+
+
+EMB_SWEEP = ["ann_topk", "embedding_near_dup", "knn_label", "doc_vector_stats"]
+
+
+@pytest.mark.parametrize("name", EMB_SWEEP)
+def test_embedding_oracle_on_fuzz_vectors(spark, emb_dir, name):
+    from tools.verify_oracle import value_hash
+
+    from textpipe_spark.queries import ORACLES, QUERIES
+
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{emb_dir}/embeddings.parquet')"
+    )
+    sdf = QUERIES[name](spark, emb_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    res = c.execute(ORACLES[name])
+    dcols = [x[0] for x in res.description]
+    drows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(dcols), name
+    assert len(srows) == len(drows), f"{name}: rows {len(srows)} vs {len(drows)}"
+    assert value_hash(sdf.columns, srows) == value_hash(dcols, drows), name
+
+
+@pytest.mark.parametrize("name", ["ann_topk_lsh_parity", "ann_topk_ivf_parity"])
+def test_ann_parity_goldens_on_fuzz_vectors(spark, emb_dir, name):
+    from textpipe_spark.queries import QUERIES
+
+    rows = QUERIES[name](spark, emb_dir).collect()
+    assert rows, name
+    for row in rows:
+        mism = {
+            k: v
+            for k, v in row.asDict().items()
+            if isinstance(v, int) and v != 0
+        }
+        assert not mism, f"{name}: non-zero mismatches {mism} in {row}"
+
+
 def test_line_dedup_actually_drops_on_fuzz_corpus(spark, fuzz_dir):
     """The sweep's corpus is built so the boilerplate branch FIRES (the
     driver documents are single-line, removals always 0 there): the SPDX
