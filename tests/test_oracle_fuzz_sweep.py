@@ -303,6 +303,73 @@ def test_ann_parity_goldens_on_fuzz_vectors(spark, emb_dir, name):
         assert not mism, f"{name}: non-zero mismatches {mism} in {row}"
 
 
+# --- adversarial EVENTS table: tumbling-window boundary cases the
+# driver's uniformly-spread timestamps never hit — events exactly ON the
+# hour boundary (window membership is [start, end)), 1 microsecond
+# before/after it, sub-microsecond-free extremes far from the epoch,
+# NULL values in the summed column, negative values, and NaN-free
+# half-up rounding targets (x.xx5 sums). ---
+
+
+def test_event_window_oracle_on_boundary_events(spark, tmp_path):
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tools.verify_oracle import value_hash
+
+    from textpipe_spark.queries import ORACLES, QUERIES
+
+    h = dt.datetime(2024, 3, 10, 1, 0, 0)  # a US-DST transition morning
+    us = dt.timedelta(microseconds=1)
+    rows = [
+        (0, h, "click", 1.005),                      # exactly on the boundary
+        (1, h - us, "click", 2.0),                   # last instant of prior window
+        (2, h + us, "click", 4.125),
+        (3, dt.datetime(2024, 3, 10, 2, 0, 0), "view", 0.015),  # DST "missing" hour
+        (4, dt.datetime(2024, 3, 10, 2, 59, 59, 999999), "view", 0.015),
+        (5, dt.datetime(1969, 12, 31, 23, 59, 59), "legacy", -7.5),  # pre-epoch
+        (6, dt.datetime(2262, 4, 11, 23, 47, 16), "future", 3.0),
+        (7, h, "click", None),                       # NULL value in sum
+        (8, h, "error", -0.005),
+        (9, dt.datetime(2024, 11, 3, 1, 30, 0), "fallback", 1.0),  # repeated wall hour
+    ]
+    d = tmp_path / "events_fuzz"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+                "user_id": pa.array([r[0] % 3 for r in rows], type=pa.int64()),
+                "event_type": pa.array([r[2] for r in rows], type=pa.string()),
+                "value": pa.array([r[3] for r in rows], type=pa.float64()),
+                "props": pa.array(["{}"] * len(rows), type=pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+    )
+    sdf = QUERIES["event_window_metrics"](spark, str(d))
+    srows = [tuple(r) for r in sdf.collect()]
+    res = c.execute(ORACLES["event_window_metrics"])
+    dcols = [x[0] for x in res.description]
+    drows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert len(srows) == len(drows), f"rows {len(srows)} vs {len(drows)}"
+    assert value_hash(sdf.columns, srows) == value_hash(dcols, drows)
+    # the on-boundary event must open its own window, not close the prior
+    i = sdf.columns.index("window_start")
+    assert any(r[i] == "2024-03-10 01:00:00" for r in srows), (
+        "boundary event missing from its own window"
+    )
+
+
 def test_line_dedup_actually_drops_on_fuzz_corpus(spark, fuzz_dir):
     """The sweep's corpus is built so the boilerplate branch FIRES (the
     driver documents are single-line, removals always 0 there): the SPDX
