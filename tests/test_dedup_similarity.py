@@ -309,3 +309,41 @@ def test_simhash_generalized_chunk_blocking(spark):
             if kmh.hamming64(sh[a], sh[b]) <= mh_limit
         }
         assert got == want, (mh_limit, got, want)
+
+
+def test_decontaminate_flags_benchmark_ngrams(spark):
+    """dedup.decontaminate: a corpus doc sharing any word 3-gram with the
+    benchmark set is flagged with the count of DISTINCT shared shingles;
+    <3-token docs fall back to whole-sequence shingles (kernel
+    minhash.shingles semantics); empty docs are never contaminated."""
+    from textpipe_spark.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [
+            (100, "the alpha beta gamma protocol is documented here"),
+            (101, "tiny pair"),  # 2-token doc -> one whole-sequence shingle
+        ],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares 'alpha beta gamma' AND 'beta gamma protocol' -> n=2
+            (0, "we discuss alpha beta gamma protocol internals at length"),
+            (1, "completely unrelated words about cooking pasta tonight"),
+            (2, ""),                       # empty -> no shingles, clean
+            (3, "tiny pair"),              # exact 2-token match via fallback
+            (4, "tiny pair extended now"), # 'tiny pair extended' != 'tiny pair'
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_contaminated"], r["contaminated"])
+        for r in decontaminate(corpus, bench, "text", "doc_id").collect()
+    }
+    assert out == {
+        0: (2, True),
+        1: (0, False),
+        2: (0, False),
+        3: (1, True),
+        4: (0, False),
+    }

@@ -351,3 +351,70 @@ def drop_boilerplate_lines(
         .withColumn(text_col, F.coalesce(F.col("_rebuilt"), F.lit("")))
         .drop("_rebuilt", "_kept_lines", "_orig_lines")
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Benchmark-overlap decontamination: flag corpus docs sharing any word
+    3-gram shingle with a held-out benchmark/eval set (the training-data
+    hygiene pass from Lee et al. 2022 §4.2 / the GPT-3 appendix-C style
+    n-gram overlap check; no reference analogue — dedup-tier addition).
+
+    Returns every corpus row's ``(id_col, n_contaminated, contaminated)``:
+    the count of DISTINCT shingles the doc shares with the benchmark, and
+    whether that count is nonzero. Shingles are the kernel spec
+    (``minhash.shingles`` at k=3 via ``functions.text.shingles_from_tokens``
+    — lowercased RE_WORD tokens, <3-token whole-sequence fallback, empty
+    docs shingle to [] and are never contaminated).
+
+    Scale shape (the 100 TB story): the benchmark side is DISTINCT
+    shingles of the eval suite — bounded by benchmark size (~10^6-10^7
+    rows), NOT corpus size — so it broadcasts and the corpus-side
+    explode→join is map-only; no corpus-wide shuffle exists anywhere in
+    the plan except the final per-doc count aggregation, which shuffles
+    the (tiny) matched-shingle subset. If the benchmark outgrows
+    broadcast, the same plan degrades gracefully to a shuffled hash join
+    on the shingle key — AQE decides, nothing to rewrite.
+    """
+    from .functions.text import shingles_from_tokens, tokens_lower_col
+
+    bench_text = bench_text_col or text_col
+
+    def exploded(df: DataFrame, col: str, ident: str | None) -> DataFrame:
+        cols = [F.col(ident)] if ident else []
+        toked = df.select(
+            *cols, tokens_lower_col(F.col(col)).alias("_toks")
+        )
+        return toked.select(
+            *cols, F.explode(shingles_from_tokens(F.col("_toks"))).alias("_sh")
+        )
+
+    bench_sh = exploded(benchmark, bench_text, None).distinct()
+    hits = (
+        exploded(corpus, text_col, id_col)
+        .join(F.broadcast(bench_sh), "_sh")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_contaminated"))
+    )
+    # left join back so clean docs report 0 / false (renamed key: both
+    # sides descend from `corpus`, the self-join lineage trap)
+    hits = hits.withColumnRenamed(id_col, "_hit_id")
+    return (
+        corpus.select(id_col)
+        .join(hits, F.col(id_col).eqNullSafe(F.col("_hit_id")), "left")
+        .drop("_hit_id")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_contaminated"), F.lit(0).cast("long")).alias(
+                "n_contaminated"
+            ),
+            (F.coalesce(F.col("n_contaminated"), F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )

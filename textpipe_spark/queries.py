@@ -605,35 +605,9 @@ JACCARD_THRESHOLD = 0.5
 JACCARD_DF_CAP = 100
 
 
-def _shingles_from_tokens(toks):
-    """Distinct word 3-gram shingles from a MATERIALISED token-array column.
-
-    The token array must be a plain column reference, not an expression:
-    subexpressions inside a higher-order-function lambda are re-evaluated
-    per element, so an inline regexp_extract_all here would re-tokenize
-    the document ~3x per shingle position (measured 26s -> 0.7s on sf0.1).
-    Docs with <3 tokens shingle to the whole token sequence.
-    """
-    n = F.size(toks)
-    tri = F.transform(
-        F.sequence(F.lit(1), n - 2),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(toks, i),
-            F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2),
-        ),
-    )
-    # kernel parity (minhash.shingles:87): zero-token docs shingle to [],
-    # NOT [''] — an '' shingle would near-dup-pair every empty doc with
-    # every other (the empty-doc-clique bug the dedup tiers also guard
-    # against). Tokens are non-empty by construction, so the filter only
-    # ever removes the n=0 join result.
-    return F.array_distinct(
-        F.when(n >= 3, tri).otherwise(
-            F.filter(F.array(F.array_join(toks, " ")), lambda s: s != "")
-        )
-    )
+# shared with dedup.decontaminate — single native twin of kernel
+# minhash.shingles (functions/text.py)
+_shingles_from_tokens = X.shingles_from_tokens
 
 
 def _shingle_tokens(d):
@@ -697,8 +671,10 @@ def q_jaccard_pairs(spark, sf_dir, df_cap: int = JACCARD_DF_CAP):
     return out
 
 
-SQL_JACCARD_PAIRS = f"""
-WITH base AS (SELECT doc_id, {CLEAN} AS clean FROM documents),
+# shared shingle CTE chain (base -> toklist -> shingled): the SQL twin of
+# functions/text.shingles_from_tokens, used by BOTH the jaccard and the
+# decontaminate oracle so the two cannot drift
+_SQL_SHINGLED_CTES = f"""base AS (SELECT doc_id, {CLEAN} AS clean FROM documents),
 toklist AS (SELECT doc_id, {O.tokens_lower_sql('clean')} AS t FROM base),
 shingled AS (
   SELECT doc_id,
@@ -707,7 +683,10 @@ shingled AS (
                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
            WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
            ELSE [] END) AS sh
-  FROM toklist),
+  FROM toklist)"""
+
+SQL_JACCARD_PAIRS = f"""
+WITH {_SQL_SHINGLED_CTES},
 toks_all AS (SELECT doc_id, unnest(sh) AS token FROM shingled),
 rare AS (SELECT token FROM toks_all GROUP BY 1 HAVING count(*) <= {JACCARD_DF_CAP}),
 toks AS (SELECT doc_id, token FROM toks_all JOIN rare USING (token)),
@@ -727,6 +706,45 @@ WHERE round(CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter), 4) >= {JACCARD_THRE
 # NOTE: the threshold filters on round(jaccard, 4) on BOTH engines — the
 # Spark side filters the rounded column, so an unrounded SQL filter would
 # diverge for true Jaccard in [threshold - 5e-5, threshold).
+
+
+# ------------------------------------------------ q: benchmark decontamination
+
+DECON_BENCH_MOD = 17  # docs with doc_id % MOD == 0 play the held-out suite
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark-overlap decontamination (dedup.decontaminate — Lee et al.
+    2022-style n-gram hygiene pass; no reference analogue, dedup-tier
+    addition). Docs with doc_id % {MOD} == 0 stand in for the held-out
+    eval suite; every other doc reports its count of distinct word
+    3-gram shingles shared with that suite plus a contaminated flag.
+    Plan shape: benchmark DISTINCT-shingle set broadcasts (bounded by
+    suite size, not corpus size), corpus side is explode -> broadcast
+    equi-join -> per-doc count — the only corpus-wide shuffle is the
+    final count over the matched subset."""
+    from .dedup import decontaminate
+
+    d = _docs(spark, sf_dir).select("doc_id", "clean")
+    is_bench = F.pmod(F.col("doc_id"), F.lit(DECON_BENCH_MOD)) == 0
+    return decontaminate(
+        d.where(~is_bench), d.where(is_bench), text_col="clean", id_col="doc_id"
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH {_SQL_SHINGLED_CTES},
+bench AS (SELECT DISTINCT unnest(sh) AS s FROM shingled
+          WHERE doc_id % {DECON_BENCH_MOD} = 0),
+corp AS (SELECT doc_id, unnest(sh) AS s FROM shingled
+         WHERE doc_id % {DECON_BENCH_MOD} != 0),
+hits AS (SELECT doc_id, count(*) AS n FROM corp JOIN bench USING (s) GROUP BY 1)
+SELECT b.doc_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated,
+       coalesce(h.n, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM shingled WHERE doc_id % {DECON_BENCH_MOD} != 0) b
+LEFT JOIN hits h USING (doc_id)
+"""
 
 
 # ------------------------------------------------------------------ q: ANN topk
@@ -2826,7 +2844,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "langid_hinted": q_langid_hinted,
     "raw": q_raw,
     "event_window_metrics": q_event_window_metrics,
-    "revenue_by_segment": q_revenue_by_segment,
+    "decontaminate": q_decontaminate,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_features": q_multimodal_features,
@@ -2841,9 +2859,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # golden in one job; oracle = constant-zero mismatch frame) ---
     **PARITY_QUERIES,
     **PAIR_PARITY_QUERIES,
-    # --- rows-only value twins (model UDFs / LSH — not SQL-expressible;
-    # correctness signal = the grouped parities above). PAST the driver's
-    # 50-entry correctness window by design. ---
+    # --- past the driver's 50-entry correctness window by design:
+    # revenue_by_segment is the TPC-H broadcast-join engine demo (not a
+    # SURVEY §2 operator) displaced by decontaminate; it KEEPS its oracle
+    # for local verification (tools/verify_oracle.py runs every entry).
+    # Below it, rows-only value twins (model UDFs / LSH — not
+    # SQL-expressible; correctness signal = the grouped parities above).
+    "revenue_by_segment": q_revenue_by_segment,
     "langid_model": q_langid_model,
     "perplexity_lm": q_perplexity_lm,
     "minhash": q_minhash,
@@ -2880,6 +2902,7 @@ ORACLES: dict[str, str] = {
     "sentiment_multilang": SQL_SENTIMENT_MULTILANG,
     "unigram_ppl": SQL_UNIGRAM_PPL,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
+    "decontaminate": SQL_DECONTAMINATE,
     "ann_topk": SQL_ANN_TOPK,
     "knn_label": SQL_KNN_LABEL,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
