@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "unigram_ppl",
     "exact_dedup",
     "jaccard_pairs",
+    "decontaminate",
     "minhash_lsh_pairs",
     "simhash_dedup",
     "fingerprint_overlap",

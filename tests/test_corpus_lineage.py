@@ -133,6 +133,48 @@ def test_corpus_pipeline_cli(tmp_path):
     assert sum(stats["drop_histogram"].values()) == stats["files_in"] - stats["files_kept"]
 
 
+def test_corpus_pipeline_cli_decontaminate(tmp_path):
+    """--decontaminate-source drops survivors sharing 3-grams with the
+    benchmark set: using a slice of the corpus itself as the benchmark
+    must remove at least those files, and the stage counts stay monotone."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import duckdb
+
+    from make_corpus import write_corpus
+
+    src = str(tmp_path / "src")
+    write_corpus(src, n_files=800, seed=13, partitions=2)
+    # benchmark = a small slice of the same corpus (guaranteed overlap)
+    bench = str(tmp_path / "bench.parquet")
+    duckdb.sql(
+        f"COPY (SELECT content FROM read_parquet('{src}/**/*.parquet') LIMIT 40) "
+        f"TO '{bench}' (FORMAT PARQUET)"
+    )
+    sink = str(tmp_path / "out")
+    env = dict(os.environ, SPARK_LOCAL_IP="127.0.0.1")
+    proc = subprocess.run(
+        [sys.executable, "tools/run_corpus_pipeline.py",
+         "--source", src, "--sink", sink, "--cores", "4",
+         "--decontaminate-source", bench],
+        capture_output=True, text=True, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert (
+        stats["after_near_dup"]
+        >= stats["after_decontamination"]
+        > 0
+    )
+    # the benchmark slice came from the corpus, so contamination must fire
+    assert stats["after_decontamination"] < stats["after_near_dup"]
+
+
 def test_with_part_id_matches_generator_layout(spark):
     """TableIO.with_part_id must reproduce the generator's sha1-prefix
     bucket assignment exactly (the append-to-existing-table contract)."""

@@ -37,12 +37,22 @@ def main() -> None:
     ap.add_argument("--sink", required=True)
     ap.add_argument("--config", help="PipelineConfig JSON path (optional)")
     ap.add_argument("--near-dup-threshold", type=float, default=0.9)
+    ap.add_argument(
+        "--decontaminate-source",
+        help="parquet of held-out benchmark/eval text; files sharing any "
+        "word 3-gram with it are dropped (dedup.decontaminate)",
+    )
+    ap.add_argument(
+        "--decontaminate-text-col",
+        default="content",
+        help="text column in --decontaminate-source (default: content)",
+    )
     ap.add_argument("--cores", default="*", help="local[N] cores (local mode only)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
 
-    from textpipe_spark.dedup import exact_dedup, minhash_dedup
+    from textpipe_spark.dedup import decontaminate, exact_dedup, minhash_dedup
     from textpipe_spark.io import spark_session
     from textpipe_spark.pipeline import PipelineConfig, build
 
@@ -81,9 +91,36 @@ def main() -> None:
 
     # 3) near-dup drop (MinHash LSH keep-first; band-hash equi-joins)
     final = minhash_dedup(uniq, "scrubbed", "doc_id", threshold=args.near_dup_threshold)
+
+    # 4) optional benchmark decontamination: stage the near-dup output to
+    #    parquet first so the shingle pass scans the WRITTEN survivors once
+    #    instead of re-executing the whole filter->dedup lineage as the
+    #    corpus side of the overlap join
+    if args.decontaminate_source:
+        stage = args.sink.rstrip("/") + "_predecon"
+        final.write.mode("overwrite").parquet(stage)
+        final = spark.read.parquet(stage)
+        stats["before_decontamination"] = final.count()
+        bench = spark.read.parquet(args.decontaminate_source).select(
+            F.coalesce(
+                F.col(args.decontaminate_text_col), F.lit("")
+            ).alias("_bench_text")
+        )
+        flags = decontaminate(
+            final, bench, text_col="scrubbed", id_col="doc_id",
+            bench_text_col="_bench_text",
+        )
+        dirty = flags.where(F.col("contaminated")).select("doc_id")
+        final = final.join(dirty, "doc_id", "left_anti")
+
     final.drop("doc_id").write.mode("overwrite").parquet(args.sink)
     out = spark.read.parquet(args.sink)
-    stats["after_near_dup"] = out.count()
+    if args.decontaminate_source:
+        # near-dup count was staged above; the sink count is post-decon
+        stats["after_near_dup"] = stats.pop("before_decontamination")
+        stats["after_decontamination"] = out.count()
+    else:
+        stats["after_near_dup"] = out.count()
     stats["wall_s"] = round(time.monotonic() - t0, 1)
 
     print(json.dumps(stats, sort_keys=True))
