@@ -84,3 +84,80 @@ def test_windowed_quality_metrics_stream(spark, tmp_path_factory):
         want = batch.where((F.col("event_ts") >= lo) & (F.col("event_ts") < hi))
         assert r["files_in"] == want.count()
         assert r["files_kept"] == want.where(F.col("keep")).count()
+
+
+def test_windowed_metrics_drop_late_events(spark, tmp_path_factory):
+    """An event arriving after the watermark has CLOSED its window must be
+    excluded from the emitted (append-mode) aggregate. The watermark is a
+    lower bound with one-trigger lag, measured empirically on this Spark:
+    the operator watermark for trigger N derives from data through N-1,
+    and input is merged BEFORE eviction — so a straggler landing in the
+    same trigger where the watermark first crosses the window end is
+    still counted (allowed by the contract: watermark guarantees no
+    drops of on-time data, not exact cutoffs). Only once the advance was
+    committed in a PRIOR trigger is the drop guaranteed — hence the
+    4-batch shape: on-time rows / future row (advances watermark) /
+    another future row (commits it) / the late straggler."""
+    import datetime as dt
+    import os
+    import time
+
+    src_dir = tmp_path_factory.mktemp("late_src")
+    src = str(src_dir) + "/data"
+    os.makedirs(src)
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    schema = (
+        "repo string, path string, commit string, lang string, "
+        "content string, event_ts timestamp"
+    )
+    good = "the quick brown fox jumps over the lazy dog today ok fine"
+
+    batches = [
+        # window [00:00, 00:10): three on-time rows
+        [("r", f"ontime{i}", "c", "en", good, base + dt.timedelta(minutes=i))
+         for i in range(3)],
+        # 01:00 pushes the watermark to 00:40 (20-minute delay)
+        [("r", "future1", "c", "en", good, base + dt.timedelta(hours=1))],
+        # a further trigger commits that watermark in the state store
+        [("r", "future2", "c", "en", good,
+          base + dt.timedelta(hours=1, minutes=5))],
+        # late straggler inside the closed first window -> must be dropped
+        [("r", "late", "c", "en", good, base + dt.timedelta(minutes=2))],
+    ]
+    # the file source processes files oldest-mtime-first; force the order
+    now = time.time()
+    for k, rows in enumerate(batches):
+        sub = f"{src}/b{k}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(sub)
+        mt = now - 400 + 100 * k
+        for root, _, files in os.walk(sub):
+            for f in files:
+                os.utime(os.path.join(root, f), (mt, mt))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    metrics = tps_streaming.windowed_quality_metrics(
+        tps_streaming.filtered_stream(stream),
+        ts_col="event_ts",
+        window="10 minutes",
+        watermark="20 minutes",
+    )
+    q = (
+        metrics.writeStream.format("memory")
+        .queryName("late_metrics")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["window"]["start"]: r["files_in"]
+        for r in spark.sql("select * from late_metrics").collect()
+    }
+    first = dt.datetime(2026, 1, 1, 0, 0, 0)
+    assert first in got, f"first window never emitted: {got}"
+    # 3 on-time rows only — the late straggler must NOT be counted
+    assert got[first] == 3, got
