@@ -54,7 +54,14 @@ def windowed_quality_metrics(
     watermark: str = "2 minutes",
 ) -> DataFrame:
     """Watermarked tumbling-window keep/drop metrics (late data dropped
-    after the watermark): the streaming version of the lineage metrics."""
+    after the watermark): the streaming version of the lineage metrics.
+
+    Late-data contract, measured (tests/test_skew_streaming_metrics.py):
+    the watermark is a LOWER BOUND with one-trigger lag — a straggler
+    landing in the same trigger where the watermark first crosses its
+    window end is still merged (input merges before eviction); the drop
+    is guaranteed once the watermark advance was committed in a prior
+    trigger. On-time data is never dropped."""
     return (
         stream_df.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window))
