@@ -436,3 +436,32 @@ def test_fast_scorer_surrogate_fallback():
     bad = "hello \ud800 world the and of"
     assert langid.get_fast_scorer().score(bad) == langid.get_model().score(bad)
     assert langid.get_fast_scorer().categories(bad) == langid.categories(bad)
+
+
+def test_offsets_are_exact_substrings_property():
+    """Property over adversarial texts: every (token, offset) from
+    kernel.words and every (text, start) from kernel.sentences must
+    reconstruct by slicing — clean[off : off + len(piece)] == piece.
+    The sentence mask is length-preserving and restore inverts it, so
+    slice equality holds exactly for any input free of the \\x01
+    sentinel; a drift in the offset algebra (the separator/match duality
+    the SQL oracle relies on) breaks this immediately."""
+    from hypothesis import given, settings, strategies as st
+
+    alphabet = (
+        "abcdefgh XYZ0123.!?'\"&<>;:/\n\t\xa0…éüñ的 "
+        "Dr. Mrs. e.g. i.e. etc. vs. Mt. approx."
+    )
+
+    @settings(max_examples=300, derandomize=True, deadline=None)
+    @given(st.text(alphabet=alphabet, min_size=0, max_size=200))
+    def check(text):
+        for tok, off in tokenize.words(text):
+            assert text[off : off + len(tok)] == tok, (text, tok, off)
+        for sent, start in tokenize.sentences(text):
+            assert text[start : start + len(sent)] == sent, (text, sent, start)
+        # counts agree with the extraction forms
+        assert tokenize.nwords(text) == len(tokenize.words(text))
+        assert tokenize.nsents(text) == len(tokenize.sentences(text))
+
+    check()
