@@ -241,6 +241,11 @@ def _fuzz_vectors():
     m[15] = 0.5 * b0
     m[16] = 0.0             # zero-norm corpus row
     m[17] = (1e-6 * rng.normal(size=EMB_DIM)).astype(np.float32)
+    m[18, 7] = np.nan       # one NaN component — must be excluded by the
+    m[19] = np.inf          # admission rule on BOTH engines (NaN orders as
+    #                         the LARGEST value in Spark AND DuckDB, but
+    #                         numpy's `NaN >= t` is False — unfiltered rows
+    #                         diverge the engines)
     labels = rng.integers(0, 10, size=EMB_N).astype("int32")
     labels[10], labels[11], labels[12] = 1, 2, 2
     return m, labels

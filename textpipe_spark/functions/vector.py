@@ -30,6 +30,21 @@ def cosine_col(a: Column, b: Column) -> Column:
     return F.when(denom == 0, F.lit(0.0)).otherwise(dot_col(a, b) / denom)
 
 
+def all_finite_col(a: Column) -> Column:
+    """True iff every component is finite (no NaN/Inf) — the vector-tier
+    admission check. Component-level on purpose: float32 inputs cannot
+    overflow a double sum-of-squares, so component-finiteness equals
+    norm-finiteness, and the identical predicate is expressible in
+    DuckDB (`len(list_filter(v, x -> NOT isfinite(x))) = 0`) where
+    Spark/DuckDB NaN COMPARISON semantics (both order NaN largest, so
+    `nrm > 0` admits a NaN norm) could not be trusted to agree with
+    numpy's (`NaN >= t` false) inside the Arrow-batched block kernels."""
+    inf = F.lit(float("inf"))
+    return ~F.exists(
+        a, lambda x: F.isnan(x.cast("double")) | (F.abs(x) == inf)
+    )
+
+
 def elementwise_agg(df, vec_col: str, group_cols: list[str], how: str = "mean"):
     """Element-wise mean/sum of vectors per group — the corpus-scale
     ``DocumentVector`` aggregation (doc.py:540-602) without UDFs:

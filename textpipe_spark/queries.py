@@ -755,7 +755,12 @@ ANN_K = 10
 def q_ann_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     qv = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
-    cand = emb.where(F.col("vec_id") != 0)
+    # vector-tier admission rule (functions.vector.all_finite_col): a
+    # NaN cosine sorts as the LARGEST value on both engines, so a single
+    # garbage row would crowd the real top-k
+    cand = emb.where(F.col("vec_id") != 0).where(
+        V.all_finite_col(F.col("embedding"))
+    )
     scored = cand.crossJoin(F.broadcast(qv)).select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.round(V.cosine_col(F.col("embedding"), F.col("qvec")), 4).alias("cosine"),
@@ -767,7 +772,9 @@ SQL_ANN_TOPK = f"""
 WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
            FROM embeddings WHERE vec_id = 0),
 cand AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         FROM embeddings WHERE vec_id != 0),
+         FROM embeddings WHERE vec_id != 0
+           AND len(list_filter(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                               x -> NOT isfinite(x))) = 0),
 scored AS (
   SELECT vec_id,
          CASE WHEN sqrt(list_sum(list_transform(v, x -> x*x)))
@@ -802,7 +809,9 @@ def q_embedding_near_dup(spark, sf_dir):
 
 SQL_EMBEDDING_NEAR_DUP = f"""
 WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-            FROM embeddings),
+            FROM embeddings
+            WHERE len(list_filter(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                  x -> NOT isfinite(x))) = 0),
 e1 AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e0),
 e AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM e1 WHERE nrm > 0),
 pairs AS (
@@ -848,7 +857,8 @@ WITH e AS (SELECT vec_id, label,
       FROM embeddings),
 n AS (SELECT vec_id, label,
         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS vn
-      FROM e WHERE list_sum(list_transform(v, y -> y*y)) > 0),
+      FROM e WHERE len(list_filter(v, x -> NOT isfinite(x))) = 0
+        AND list_sum(list_transform(v, y -> y*y)) > 0),
 q AS (SELECT vec_id AS query_id, vn AS qn FROM n WHERE vec_id < {KNN_N_QUERIES}),
 c AS (SELECT vec_id AS corpus_id, label, vn FROM n WHERE vec_id >= {KNN_N_QUERIES}),
 scored AS (SELECT query_id, corpus_id, label, list_dot_product(qn, vn) AS cosine FROM q, c),

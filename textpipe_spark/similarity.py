@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .functions.vector import cosine_col
+from .functions.vector import all_finite_col, cosine_col
 from .kernel.rounding import round_half_up as _round_half_up
 
 _HYPERPLANES: dict[tuple[int, int, int], np.ndarray] = {}
@@ -93,7 +93,7 @@ def lsh_topk(
             for t in range(tables)
         ]
     )
-    indexed = vectors.select(
+    indexed = vectors.where(all_finite_col(F.col(vec_col))).select(
         F.col(id_col), F.col(vec_col), F.explode(idx_cols).alias("_tb")
     ).select(id_col, vec_col, F.col("_tb.t").alias("_t"), F.col("_tb.b").alias("_b"))
     q_cols = F.array(
@@ -131,6 +131,9 @@ def build_ivf_index(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
+    # non-finite rows would poison the KMeans centroids (or crash the
+    # fit); the vector-tier admission rule excludes them here too
+    vectors = vectors.where(all_finite_col(F.col(vec_col)))
     with_vec = vectors.withColumn("_features", array_to_vector(F.col(vec_col)))
     km = KMeans(k=n_cells, seed=seed, featuresCol="_features", predictionCol="_cell")
     model = km.fit(with_vec)
@@ -251,6 +254,13 @@ def blocked_cosine_pairs(
     e = vectors.select(
         F.col(id_col), F.transform(vec_col, lambda x: x.cast("double")).alias("v")
     )
+    # non-finite exclusion BEFORE the norm filter: both engines order
+    # NaN as the LARGEST value, so the oracle's `nrm > 0` ADMITS a NaN
+    # norm while the numpy block kernel's `C >= thr` REJECTS NaN — a
+    # single bad row would silently diverge the two engines (probed on
+    # a NaN-component + all-inf fixture). Spec: non-finite vectors are
+    # excluded from every vector tier, like zero-norm rows.
+    e = e.where(all_finite_col(F.col("v")))
     e = e.withColumn("_nrm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)))
     e = e.where(F.col("_nrm") > 0).select(
         F.col(id_col),
@@ -350,8 +360,12 @@ def knn_join_label_brute(
     # zero-norm exclusion on BOTH sides: the SQL oracle drops zero-norm
     # rows before the query/corpus split, so a zero-norm QUERY must not
     # emit a vote row either
-    vectors = vectors.where(F.exists(vec_col, lambda x: x != 0))
-    queries = queries.where(F.exists("qvec", lambda x: x != 0))
+    vectors = vectors.where(
+        all_finite_col(F.col(vec_col)) & F.exists(vec_col, lambda x: x != 0)
+    )
+    queries = queries.where(
+        all_finite_col(F.col("qvec")) & F.exists("qvec", lambda x: x != 0)
+    )
     scored = queries.alias("q").crossJoin(vectors.alias("v")).select(
         F.col(f"q.{id_col}").alias("query_id"),
         F.col(f"v.{id_col}").alias("corpus_id"),
@@ -393,7 +407,7 @@ def knn_join_label(
     # blocked_cosine_pairs both exclude them, and keeping them here would
     # let a cosine-0 row outrank negative-cosine true neighbours (ADVICE r2)
     c = vectors.where(
-        F.exists(vec_col, lambda x: x != 0)
+        all_finite_col(F.col(vec_col)) & F.exists(vec_col, lambda x: x != 0)
     ).select(
         F.lit(0).alias("_side"),
         F.col(id_col).alias("_id"),
@@ -411,7 +425,9 @@ def knn_join_label(
         if isinstance(label_dt, T.StringType)
         else F.lit(0).cast(label_dt)
     )
-    q = queries.where(F.exists("qvec", lambda x: x != 0)).select(
+    q = queries.where(
+        all_finite_col(F.col("qvec")) & F.exists("qvec", lambda x: x != 0)
+    ).select(
         F.lit(1).alias("_side"),
         F.col(id_col).alias("_id"),
         placeholder.alias("_label"),
