@@ -394,10 +394,15 @@ def decontaminate(
             *cols, F.explode(shingles_from_tokens(F.col("_toks"))).alias("_sh")
         )
 
+    # no broadcast HINT: the benchmark shingle set is usually far under
+    # the broadcast threshold and AQE picks BHJ from its measured size
+    # (pinned by tests/test_plan_audit.py via the driver query), but a
+    # forced hint would OOM the driver on an over-sized suite — exactly
+    # the case where the plan must degrade to a shuffled hash join
     bench_sh = exploded(benchmark, bench_text, None).distinct()
     hits = (
         exploded(corpus, text_col, id_col)
-        .join(F.broadcast(bench_sh), "_sh")
+        .join(bench_sh, "_sh")
         .groupBy(id_col)
         .agg(F.count("*").cast("long").alias("n_contaminated"))
     )
