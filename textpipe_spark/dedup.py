@@ -21,6 +21,77 @@ from . import udfs
 from .kernel.minhash import NUM_PERM, empty_signature as kmh_empty
 
 
+# Over-cap key sets small enough to force-broadcast in the df-cap
+# anti-join. The set is bounded by total_occurrences // df_cap rows (a key
+# filters out only when it occurs in MORE than df_cap docs). Below the
+# bound, a static BroadcastHashJoin skips AQE's shuffle-then-convert
+# detour: an un-hinted plan starts as SortMergeJoin, so the probe side's
+# full exploded index is shuffle-WRITTEN before AQE flips the join to
+# broadcast (measured ~0.3-0.5 s of extra stage barriers at sf0.1, r5
+# profile). Above the bound — a boilerplate-heavy corpus at 100x scale —
+# the hint is omitted and AQE degrades to a shuffled hash join instead of
+# OOMing the driver.
+_BROADCAST_KEYS_MAX = 1_000_000
+
+
+def _df_cap_filter(
+    t: DataFrame, key_col: str, df_cap: int, total_occurrences: int | None = None
+) -> DataFrame:
+    """Drop rows whose key occurs in more than ``df_cap`` docs: anti-join
+    against the over-cap key set (the <=cap "rare" side is nearly every
+    distinct key and could never broadcast at corpus scale; the over-cap
+    complement is tiny — shared headers/boilerplate)."""
+    common = (
+        t.groupBy(key_col)
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") > df_cap)
+        .select(key_col)
+    )
+    if (
+        total_occurrences is not None
+        and total_occurrences // max(df_cap, 1) <= _BROADCAST_KEYS_MAX
+    ):
+        common = F.broadcast(common)
+    return t.join(common, key_col, "left_anti")
+
+
+def _pair_expand(ids_col: str):
+    """All ordered pairs (id1 < id2) from a SORTED-distinct array column,
+    expanded map-side with native higher-order functions — the per-row
+    output is bounded by df_cap*(df_cap-1)/2 because every posting list
+    passed in has already been df-cap filtered."""
+    return F.explode(
+        F.flatten(
+            F.transform(
+                ids_col,
+                lambda x, i: F.transform(
+                    F.slice(ids_col, i + 2, F.size(ids_col)),
+                    lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+                ),
+            )
+        )
+    )
+
+
+def shared_key_pairs(t: DataFrame, key_col: str, id_col: str) -> DataFrame:
+    """(id1, id2, shared) from an exploded (id, key) table via bounded
+    posting lists: ONE shuffle of ``t`` on the key builds sorted posting
+    lists (each <= df_cap ids — the caller df-cap filters first, so the
+    aggregation buffer is bounded), pairs expand map-side, and the
+    (id1, id2) count partial-aggregates before its (small) shuffle. The
+    inverted-index SELF-join this replaces shuffled ``t`` twice more and
+    materialised the join product before the pair aggregate."""
+    postings = t.groupBy(key_col).agg(
+        F.sort_array(F.collect_list(id_col)).alias("_ids")
+    )
+    return (
+        postings.select(_pair_expand("_ids").alias("_p"))
+        .select("_p.id1", "_p.id2")
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("shared"))
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep-first exact dedup by content hash (one shuffle on the sha)."""
     sha = F.sha2(F.col(text_col), 256).alias("_sha")
@@ -145,8 +216,8 @@ def fingerprint_overlap_pairs(
 
     Where MinHash finds whole-document near-dups, winnowing finds documents
     SHARING PASSAGES (a copied function inside otherwise-different files):
-    each doc emits its fingerprint set, an inverted-index self-join counts
-    shared fingerprints, and `containment` = shared / min(|fp1|, |fp2|)
+    each doc emits its fingerprint set, bounded posting lists count shared
+    fingerprints (shared_key_pairs), and `containment` = shared / min(|fp1|, |fp2|)
     scores the smaller doc's coverage. Same scale shape as jaccard_pairs:
     fingerprints with document frequency > df_cap are boilerplate and are
     dropped before the join (cost model: Σ min(df, cap)², linear in corpus
@@ -167,35 +238,24 @@ def fingerprint_overlap_pairs(
     fps = df.select(F.col(id_col), winnow(F.col(text_col)).alias("_fps")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # one scalar-agg pass materialises the cache AND sizes the over-cap
+    # broadcast decision (see _BROADCAST_KEYS_MAX): the work happens once
+    # either way — every downstream consumer reads the persisted table
+    total = fps.agg(F.sum(F.size("_fps"))).first()[0] or 0
     exploded = fps.select(id_col, F.explode("_fps").alias("fp"))
-    # boilerplate filter as a broadcast ANTI-join against the keys ABOVE
-    # the cap: that set is bounded by total_occurrences/df_cap (and in
-    # practice tiny — shared headers), where the <=cap "rare" side is
-    # nearly EVERY distinct fingerprint and could never broadcast at
-    # corpus scale. Same result, scale-correct side.
-    common = (
-        exploded.groupBy("fp")
-        .agg(F.count("*").alias("_df"))
-        .where(F.col("_df") > df_cap)
-        .select("fp")
-    )
-    # un-hinted anti-join: AQE broadcasts the over-cap set while it fits
-    # and falls back to a shuffle when a boilerplate-heavy corpus makes
-    # it large (a forced broadcast bypasses the size check and can OOM)
-    t = exploded.join(common, "fp", "left_anti")
+    t = _df_cap_filter(exploded, "fp", df_cap, total_occurrences=total)
     # per-doc sizes AFTER the rarity filter — numerator and denominator
     # count the same fingerprint population (the jaccard_pairs convention);
     # sizing before the filter underestimated containment for
     # boilerplate-heavy docs (ADVICE r2). Joined onto the (small) pairs
     # output, not carried through the exploded index.
     nfp = t.groupBy(id_col).agg(F.count("*").alias("_nfp"))
-    left = t.select(F.col(id_col).alias("id1"), "fp")
-    right = t.select(F.col(id_col).alias("id2"), "fp")
+    # pairs via bounded posting lists (shared_key_pairs): winnow emits
+    # sorted-UNIQUE fingerprints per doc (kernel/minhash.py np.unique), so
+    # each shared fingerprint contributes exactly one (id1, id2) row and
+    # the pair count equals the shared-fingerprint count
     pairs = (
-        left.join(right, "fp")
-        .where(F.col("id1") < F.col("id2"))
-        .groupBy("id1", "id2")
-        .agg(F.count("*").alias("shared"))
+        shared_key_pairs(t, "fp", id_col)
         .where(F.col("shared") >= min_overlap)
         .join(nfp.select(F.col(id_col).alias("id1"), F.col("_nfp").alias("n1")), "id1")
         .join(nfp.select(F.col(id_col).alias("id2"), F.col("_nfp").alias("n2")), "id2")

@@ -627,28 +627,29 @@ def _shingle_tokens(d):
 def q_jaccard_pairs(spark, sf_dir, df_cap: int = JACCARD_DF_CAP):
     from pyspark import StorageLevel
 
+    from .dedup import _df_cap_filter, shared_key_pairs
+
     d = _docs(spark, sf_dir)
     # persist the exploded shingle table: it fans out to the df-cap
-    # aggregate, both self-join sides and the size aggregate, and each
-    # consumer would otherwise re-run the clean chain + tokenisation +
+    # aggregate, the posting-list pair builder and the size aggregate, and
+    # each consumer would otherwise re-run the clean chain + tokenisation +
     # shingling (no common-subplan dedup in Catalyst)
     t_all = _shingle_tokens(d).persist(StorageLevel.MEMORY_AND_DISK)
-    df_counts = t_all.groupBy("token").agg(F.count("*").alias("df"))
-    # anti-join against the SMALL over-cap stop-shingle set (bounded by
-    # total/df_cap) instead of broadcasting the huge rare side — same
-    # rows, scale-correct broadcast side
-    t = t_all.join(
-        F.broadcast(df_counts.where(F.col("df") > df_cap).select("token")),
-        "token",
-        "left_anti",
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # size-aware anti-join against the over-cap stop-shingle set: the
+    # count materialises the cache (work every consumer needs anyway) and
+    # bounds the broadcast decision — the over-cap set grows linearly with
+    # corpus size, so an unconditional hint would OOM the driver at scale
+    total = t_all.count()
+    t = _df_cap_filter(t_all, "token", df_cap, total_occurrences=total).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = t.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    pairs = (
-        t.alias("a")
-        .join(t.alias("b"), "token")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
-        .agg(F.count("*").alias("inter"))
+    # shingles are array_distinct per doc (functions/text.py), so the
+    # posting-list pair count equals the shingle-intersection size
+    pairs = shared_key_pairs(t, "token", "doc_id").select(
+        F.col("id1").alias("doc1"),
+        F.col("id2").alias("doc2"),
+        F.col("shared").alias("inter"),
     )
     out = (
         pairs.join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("sz", "s1"), "doc1")

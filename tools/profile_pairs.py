@@ -1,0 +1,42 @@
+"""Time the PRODUCTION q_fingerprint_overlap / q_jaccard_pairs after the
+posting-list + size-aware-broadcast restructure (r5)."""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from textpipe_spark.io import spark_session
+from textpipe_spark.queries import QUERIES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def steal():
+    with open("/proc/stat") as fh:
+        return int(fh.readline().split()[8])
+
+
+def main():
+    spark = spark_session(app="profile_fp4", cores=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(256 * 1024))
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    QUERIES["token_stats"](spark, SF_DIR).count()  # warm
+
+    for name in ("fingerprint_overlap", "jaccard_pairs"):
+        walls = []
+        for _ in range(4):
+            s0 = steal()
+            t0 = time.monotonic()
+            QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            walls.append((round(time.monotonic() - t0, 3), steal() - s0))
+            spark.catalog.clearCache()
+        print(f"RESULT {name}: {walls} best={min(w for w, _ in walls)}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
