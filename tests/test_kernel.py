@@ -95,6 +95,31 @@ def test_sent_mask_two_pass_spec():
     assert tokenize.nsents("a\x01b. c") == 2
 
 
+def test_sentences_digit_guard():
+    # VERDICT r4 #3: a dot BETWEEN digits is not a sentence boundary
+    # (spaCy never splits inside numbers, reference doc.py:282-309)
+    assert tokenize.nsents("Pi is 3.14 exactly. Done.") == 2
+    assert tokenize.sentences("Pi is 3.14 exactly. Done.") == [
+        ("Pi is 3.14 exactly", 0),
+        ("Done", 20),
+    ]
+    # version strings: every inter-digit dot masked
+    assert tokenize.nsents("Use v1.2.3 now. Upgrade.") == 2
+    # IPs: 4 octets, 3 masked dots (two-pass covers the odd chain)
+    assert tokenize.nsents("Ping 127.0.0.1 first. Then stop.") == 2
+    assert tokenize.sent_mask("127.0.0.1") == "127\x010\x010\x011"
+    # long alternating chain — pass 1 leaves no two adjacent unmasked
+    assert tokenize.sent_mask("1.2.3.4.5.6.7") == "1\x012\x013\x014\x015\x016\x017"
+    # dot needs a digit on BOTH sides: "v1." at end-of-number still splits
+    assert tokenize.nsents("Released v1. It shipped.") == 2
+    assert tokenize.nsents("3. 14") == 2  # space after dot -> boundary
+    # composes with the abbreviation guard in one text
+    assert tokenize.sentences("Dr. Smith pays 3.50 now. OK.") == [
+        ("Dr. Smith pays 3.50 now", 0),
+        ("OK", 25),
+    ]
+
+
 def test_flesch_empty_fallback():
     # reference doc.py:370-371: 100 when no syllables
     assert tokenize.flesch(0, 0, 0) == 100.0

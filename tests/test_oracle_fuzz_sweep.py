@@ -35,6 +35,11 @@ SENTENCE_DOCS = [
     "contains \x01 sentinel in raw input. second part.",
     "a.b.c.d tight dots",
     "Prof. X vs. Dr. Y at St. Mary's e.g. i.e. etc. Fin.",
+    # digit guard (VERDICT r4 #3): inter-digit dots are not boundaries
+    "Pi is 3.14 and e is 2.718. Versions v1.2.3 and 0.0.1 ship.",
+    "Ping 127.0.0.1 then 10.0.0.255. Chain 1.2.3.4.5.6.7.8.9 ends.",
+    "Ends with 3.14. 9.Dr.9.e.g.1.2 mixed guards. Costs 3.50",
+    "Released v1. Digit then space: 3. 14 splits. 1.a and a.1 split",
 ]
 
 EMOJI_DOCS = [

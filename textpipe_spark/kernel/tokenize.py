@@ -65,6 +65,17 @@ RE_ABBREV_DOT = RE_GUARD + "(" + "|".join(ABBREVS) + ")\\."
 RE_EG_DOT = RE_GUARD + "e\\.g\\."
 RE_IE_DOT = RE_GUARD + "i\\.e\\."
 
+# digit guard (VERDICT r4 #3): a dot BETWEEN digits is decimal/version/IP
+# punctuation, not a sentence boundary — spaCy (reference doc.py:282-309)
+# never splits inside numbers, and a code corpus is dense with `3.14`,
+# `v1.2.3`, `127.0.0.1`. Both digits are consumed (no lookarounds), so
+# the same two-pass idiom applies: in any digit-dot chain, pass 1 masks a
+# dot unless its left digit was consumed by the previous match, which
+# leaves no two consecutive dots unmasked (the scan resumes AT the
+# unmasked dot, so the very next dot's digit-dot-digit window is intact
+# and matches); pass 2 then masks the isolated survivors conflict-free.
+RE_NUM_DOT = "([0-9])\\.([0-9])"
+
 # (pattern, replacement template, necessary substrings for byte-gating:
 # every match of the pattern contains at least ONE of them, so skipping
 # the regex when none is present cannot change the result — the gates
@@ -80,6 +91,12 @@ SENT_MASK_STEPS = [
         "{1}{2}" + SENT_MASK,
         tuple(a + "." for a in ABBREVS),
     ),
+    # last (order-independent: digit patterns are disjoint from the
+    # letter-ending abbreviation patterns, and masking replaces dots with
+    # the non-digit sentinel so no step can create or destroy another's
+    # trigger). Gate: every match contains some digit immediately before
+    # a dot.
+    (RE_NUM_DOT, "{1}" + SENT_MASK + "{2}", tuple(d + "." for d in "0123456789")),
 ]
 
 _MASK_RES = [
