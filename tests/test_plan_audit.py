@@ -70,6 +70,17 @@ def test_flagship_plan_is_map_only(spark, tmp_path_factory):
     )
 
 
+def test_models_parity_single_udf_emission(spark):
+    """Invariant 4 (CLAUDE.md): each model pandas UDF is emitted exactly
+    once in the models-parity plan — one ArrowEvalPython node containing
+    langid_model_udf a single time, not once per struct-field access."""
+    df = QUERIES["models_parity"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("langid_model_udf") == 1, (
+        "langid_model_udf emitted more than once:\n" + plan
+    )
+
+
 def test_near_dup_tiers_shuffle_only_by_hash(spark):
     """Near-dup/pair tiers may shuffle — but only hash-partition exchanges
     (equi-join/aggregate shuffles). A rangepartitioning (global sort) or

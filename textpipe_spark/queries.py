@@ -2313,6 +2313,20 @@ q_vectors_parity = _parity_query(
         "wv": F.array_sort(F.map_entries(udfs.word_vectors_udf(F.col("clean")))),
     },
 )
+def _models_parity_cols():
+    # invariant 4: the struct-returning model UDF is invoked ONCE and
+    # field-accessed (ExtractPythonUDFs dedupes equal calls today, but the
+    # single-call form is the spec; pinned by test_plan_audit).
+    lid = udfs.langid_model_udf(F.col("clean"))
+    return {
+        "cat": F.array_sort(F.map_entries(udfs.categories_udf(F.col("clean")))),
+        "lang": lid["lang"],
+        "conf": lid["conf"],
+        "reliable": lid["reliable"],
+        "ppl": udfs.perplexity_udf(F.col("clean")),
+    }
+
+
 q_models_parity = _parity_query(
     [
         ("cat", "array<struct<key:string,value:double>>"),
@@ -2322,13 +2336,7 @@ q_models_parity = _parity_query(
         ("ppl", "double"),
     ],
     _combine(_golden_categories, _golden_langid_model, _golden_perplexity),
-    lambda: {
-        "cat": F.array_sort(F.map_entries(udfs.categories_udf(F.col("clean")))),
-        "lang": udfs.langid_model_udf(F.col("clean"))["lang"],
-        "conf": udfs.langid_model_udf(F.col("clean"))["conf"],
-        "reliable": udfs.langid_model_udf(F.col("clean"))["reliable"],
-        "ppl": udfs.perplexity_udf(F.col("clean")),
-    },
+    _models_parity_cols,
 )
 
 
