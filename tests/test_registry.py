@@ -14,9 +14,12 @@ DRIVER_WINDOW = 50
 # Oracle-backed queries deliberately parked past the window: the window is
 # full (40 SQL-oracled SURVEY-§2 queries + 10 grouped parities), so the
 # TPC-H broadcast-join engine demo yields its slot to the decontaminate
-# operator. Its oracle stays for local verification (verify_oracle runs
-# every entry); the driver simply records no row for it.
-PAST_WINDOW_ORACLED = {"revenue_by_segment"}
+# operator, and the production-width (k=8) decontamination variant pins
+# the k-parameterized shingle builder from outside (the in-window k=3
+# variant pins the identical plan). Their oracles stay for local
+# verification (verify_oracle runs every entry); the driver simply
+# records no row for them.
+PAST_WINDOW_ORACLED = {"revenue_by_segment", "decontaminate_wide"}
 
 
 def test_all_oracle_backed_queries_inside_driver_window():

@@ -419,18 +419,31 @@ def decontaminate(
     text_col: str,
     id_col: str,
     bench_text_col: str | None = None,
+    k: int = 8,
 ) -> DataFrame:
     """Benchmark-overlap decontamination: flag corpus docs sharing any word
-    3-gram shingle with a held-out benchmark/eval set (the training-data
+    k-gram shingle with a held-out benchmark/eval set (the training-data
     hygiene pass from Lee et al. 2022 §4.2 / the GPT-3 appendix-C style
     n-gram overlap check; no reference analogue — dedup-tier addition).
 
+    ``k`` defaults to 8 — the published decontamination range is 8-13-gram
+    overlap (Lee et al. 2022 use sequences >= ~50 BPE tokens; the GPT-3
+    appendix C check is 13-gram): a 3-gram check flags nearly every doc at
+    corpus scale on stop-phrase collisions and explodes the join. k=3
+    remains exercised by the small-scale oracle query (queries.py
+    ``decontaminate``) where the corpus is tiny enough for it to be
+    meaningful.
+
     Returns every corpus row's ``(id_col, n_contaminated, contaminated)``:
-    the count of DISTINCT shingles the doc shares with the benchmark, and
-    whether that count is nonzero. Shingles are the kernel spec
-    (``minhash.shingles`` at k=3 via ``functions.text.shingles_from_tokens``
-    — lowercased RE_WORD tokens, <3-token whole-sequence fallback, empty
-    docs shingle to [] and are never contaminated).
+    the count of shingles the doc shares with the benchmark, and whether
+    that count is nonzero. Shingles are the kernel spec
+    (``minhash.shingles`` via ``functions.text.shingles_from_tokens`` —
+    lowercased RE_WORD tokens, <k-token whole-sequence fallback, empty
+    docs shingle to [] and are never contaminated). The count is over
+    DISTINCT shingles per doc because ``shingles_from_tokens`` applies
+    ``array_distinct`` per document (functions/text.py) — the benchmark
+    side is additionally DISTINCT across the whole suite, so each shared
+    shingle counts once per corpus doc.
 
     Scale shape (the 100 TB story): the benchmark side is DISTINCT
     shingles of the eval suite — bounded by benchmark size (~10^6-10^7
@@ -451,7 +464,8 @@ def decontaminate(
             *cols, tokens_lower_col(F.col(col)).alias("_toks")
         )
         return toked.select(
-            *cols, F.explode(shingles_from_tokens(F.col("_toks"))).alias("_sh")
+            *cols,
+            F.explode(shingles_from_tokens(F.col("_toks"), k=k)).alias("_sh"),
         )
 
     # no broadcast HINT: the benchmark shingle set is usually far under

@@ -404,24 +404,24 @@ def emoji_count_col(text: Column) -> Column:
     return F.regexp_count(text, F.lit(kemoji.EMOJI_PATTERN))
 
 
-def shingles_from_tokens(toks: Column) -> Column:
-    """Distinct word 3-gram shingles from a MATERIALISED token-array column
-    (the native twin of kernel ``minhash.shingles`` at k=3 — same
-    <k-token whole-sequence fallback, same []-for-zero-tokens rule).
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles from a MATERIALISED token-array column
+    (the native twin of kernel ``minhash.shingles`` — same <k-token
+    whole-sequence fallback, same []-for-zero-tokens rule). ``k`` is a
+    plan-time Python int (the gram width unrolls into the concat).
 
     The token array must be a plain column reference, not an expression:
     subexpressions inside a higher-order-function lambda are re-evaluated
     per element, so an inline regexp_extract_all here would re-tokenize
     the document ~3x per shingle position (measured 26s -> 0.7s on sf0.1).
     """
+    if k < 1:
+        raise ValueError(f"shingle width must be >= 1, got {k}")
     n = F.size(toks)
-    tri = F.transform(
-        F.sequence(F.lit(1), n - 2),
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
         lambda i: F.concat_ws(
-            " ",
-            F.element_at(toks, i),
-            F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2),
+            " ", *[F.element_at(toks, i + j) for j in range(k)]
         ),
     )
     # kernel parity (minhash.shingles:87): zero-token docs shingle to [],
@@ -430,7 +430,7 @@ def shingles_from_tokens(toks: Column) -> Column:
     # against). Tokens are non-empty by construction, so the filter only
     # ever removes the n=0 join result.
     return F.array_distinct(
-        F.when(n >= 3, tri).otherwise(
+        F.when(n >= k, grams).otherwise(
             F.filter(F.array(F.array_join(toks, " ")), lambda s: s != "")
         )
     )

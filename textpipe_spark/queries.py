@@ -675,16 +675,25 @@ def q_jaccard_pairs(spark, sf_dir, df_cap: int = JACCARD_DF_CAP):
 # shared shingle CTE chain (base -> toklist -> shingled): the SQL twin of
 # functions/text.shingles_from_tokens, used by BOTH the jaccard and the
 # decontaminate oracle so the two cannot drift
-_SQL_SHINGLED_CTES = f"""base AS (SELECT doc_id, {CLEAN} AS clean FROM documents),
+def _sql_shingled_ctes(k: int = 3) -> str:
+    """DuckDB twin of ``functions.text.shingles_from_tokens(toks, k)``:
+    distinct word k-gram shingles with the <k-token whole-sequence
+    fallback and []-for-empty rule. ``k`` unrolls into the concat, same
+    as the Spark builder."""
+    gram = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(k))
+    return f"""base AS (SELECT doc_id, {CLEAN} AS clean FROM documents),
 toklist AS (SELECT doc_id, {O.tokens_lower_sql('clean')} AS t FROM base),
 shingled AS (
   SELECT doc_id,
-         list_distinct(CASE WHEN len(t) >= 3
-           THEN list_transform(range(1, len(t) - 1),
-                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         list_distinct(CASE WHEN len(t) >= {k}
+           THEN list_transform(range(1, len(t) - {k - 2}),
+                i -> {gram})
            WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
            ELSE [] END) AS sh
   FROM toklist)"""
+
+
+_SQL_SHINGLED_CTES = _sql_shingled_ctes(3)
 
 SQL_JACCARD_PAIRS = f"""
 WITH {_SQL_SHINGLED_CTES},
@@ -728,13 +737,37 @@ def q_decontaminate(spark, sf_dir):
 
     d = _docs(spark, sf_dir).select("doc_id", "clean")
     is_bench = F.pmod(F.col("doc_id"), F.lit(DECON_BENCH_MOD)) == 0
+    # k=3 kept at driver scale where the tiny corpus makes it meaningful;
+    # production width is the dedup.decontaminate default (k=8), exercised
+    # by q_decontaminate_wide below
     return decontaminate(
-        d.where(~is_bench), d.where(is_bench), text_col="clean", id_col="doc_id"
+        d.where(~is_bench), d.where(is_bench), text_col="clean",
+        id_col="doc_id", k=3,
     )
 
 
-SQL_DECONTAMINATE = f"""
-WITH {_SQL_SHINGLED_CTES},
+DECON_WIDE_K = 8  # published decontamination widths are 8-13-gram
+
+
+def q_decontaminate_wide(spark, sf_dir):
+    """The production-width decontamination tier: same plan as
+    ``decontaminate`` but at the dedup.decontaminate default k=8 word-gram
+    width (Lee et al. 2022 §4.2 / GPT-3 appendix-C use 8-13-gram overlap;
+    3-grams flag nearly everything at corpus scale). Separate oracle pins
+    the k-parameterized shingle builder on both engines."""
+    from .dedup import decontaminate
+
+    d = _docs(spark, sf_dir).select("doc_id", "clean")
+    is_bench = F.pmod(F.col("doc_id"), F.lit(DECON_BENCH_MOD)) == 0
+    return decontaminate(
+        d.where(~is_bench), d.where(is_bench), text_col="clean",
+        id_col="doc_id", k=DECON_WIDE_K,
+    )
+
+
+def _sql_decontaminate(k: int) -> str:
+    return f"""
+WITH {_sql_shingled_ctes(k)},
 bench AS (SELECT DISTINCT unnest(sh) AS s FROM shingled
           WHERE doc_id % {DECON_BENCH_MOD} = 0),
 corp AS (SELECT doc_id, unnest(sh) AS s FROM shingled
@@ -746,6 +779,9 @@ SELECT b.doc_id,
 FROM (SELECT doc_id FROM shingled WHERE doc_id % {DECON_BENCH_MOD} != 0) b
 LEFT JOIN hits h USING (doc_id)
 """
+
+
+SQL_DECONTAMINATE = _sql_decontaminate(3)
 
 
 # ------------------------------------------------------------------ q: ANN topk
@@ -2885,6 +2921,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Below it, rows-only value twins (model UDFs / LSH — not
     # SQL-expressible; correctness signal = the grouped parities above).
     "revenue_by_segment": q_revenue_by_segment,
+    # production-width (k=8) decontamination tier: window is full, the k=3
+    # variant inside it pins the same plan; this one pins the
+    # k-parameterized shingle builder (verify_oracle checks it every run)
+    "decontaminate_wide": q_decontaminate_wide,
     "langid_model": q_langid_model,
     "perplexity_lm": q_perplexity_lm,
     "minhash": q_minhash,
@@ -2922,6 +2962,7 @@ ORACLES: dict[str, str] = {
     "unigram_ppl": SQL_UNIGRAM_PPL,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
     "decontaminate": SQL_DECONTAMINATE,
+    "decontaminate_wide": _sql_decontaminate(DECON_WIDE_K),
     "ann_topk": SQL_ANN_TOPK,
     "knn_label": SQL_KNN_LABEL,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,

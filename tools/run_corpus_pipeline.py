@@ -40,12 +40,21 @@ def main() -> None:
     ap.add_argument(
         "--decontaminate-source",
         help="parquet of held-out benchmark/eval text; files sharing any "
-        "word 3-gram with it are dropped (dedup.decontaminate)",
+        "word n-gram with it are dropped (dedup.decontaminate). Stages "
+        "the pre-decontamination survivors under <sink>_predecon while "
+        "running (removed after the final sink write)",
     )
     ap.add_argument(
         "--decontaminate-text-col",
         default="content",
         help="text column in --decontaminate-source (default: content)",
+    )
+    ap.add_argument(
+        "--decontaminate-ngram",
+        type=int,
+        default=8,
+        help="word n-gram overlap width (default 8; published "
+        "decontamination checks use 8-13 — 3-grams overflag at scale)",
     )
     ap.add_argument("--cores", default="*", help="local[N] cores (local mode only)")
     args = ap.parse_args()
@@ -108,7 +117,7 @@ def main() -> None:
         )
         flags = decontaminate(
             final, bench, text_col="scrubbed", id_col="doc_id",
-            bench_text_col="_bench_text",
+            bench_text_col="_bench_text", k=args.decontaminate_ngram,
         )
         dirty = flags.where(F.col("contaminated")).select("doc_id")
         final = final.join(dirty, "doc_id", "left_anti")
@@ -119,6 +128,11 @@ def main() -> None:
         # near-dup count was staged above; the sink count is post-decon
         stats["after_near_dup"] = stats.pop("before_decontamination")
         stats["after_decontamination"] = out.count()
+        # the _predecon staging dir has served its purpose (the sink is
+        # written); drop it so re-runs never read a stale stage
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
     else:
         stats["after_near_dup"] = out.count()
     stats["wall_s"] = round(time.monotonic() - t0, 1)
