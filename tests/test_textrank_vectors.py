@@ -28,8 +28,40 @@ def test_keyterms_basic():
 
 def test_keyterms_edge_cases():
     assert textrank.keyterms("") == []  # doc.py:432-433 parity
-    with pytest.raises(ValueError):  # doc.py:435-437 parity
-        textrank.keyterms(TEXT, ranker="sgrank")
+    with pytest.raises(ValueError):  # doc.py:435-437 parity: invalid name
+        textrank.keyterms(TEXT, ranker="nonsense")
+    # sgrank/scake are VALID reference names (doc.py:434-439) whose textacy
+    # implementations are not reproduced — unavailable, not invalid
+    for valid_unimplemented in ("sgrank", "scake"):
+        with pytest.raises(NotImplementedError):
+            textrank.keyterms(TEXT, ranker=valid_unimplemented)
+
+
+def test_keyterms_yake():
+    terms = textrank.keyterms(TEXT, n_terms=5, ranker="yake")
+    assert len(terms) == 5
+    scores = [s for _, s in terms]
+    # YAKE: lower score = more important -> emitted ascending
+    assert scores == sorted(scores)
+    assert all(s > 0 for s in scores)
+    # W_Pos favors early terms: the doc-opening subject leads the ranking
+    assert terms[0][0] == "spark"
+    full = dict(textrank.keyterms(TEXT, n_terms=20, ranker="yake"))
+    # among the mid-doc content words, higher tf + sentence spread wins
+    assert full["partitions"] < full["queries"]
+    # deterministic
+    assert textrank.keyterms(TEXT, n_terms=5, ranker="yake") == terms
+    # feature checks on a crafted doc: the repeated, multi-sentence,
+    # early-positioned term must beat the one-off late term
+    crafted = (
+        "Tokenizer speed matters. The tokenizer splits text. "
+        "A tokenizer feeds models. Latency hurts."
+    )
+    yk = dict(textrank.keyterms(crafted, ranker="yake"))
+    assert yk["tokenizer"] < yk["latency"]
+    # empty / no-candidate docs
+    assert textrank.keyterms("", ranker="yake") == []
+    assert textrank.keyterms("a b 12 42", ranker="yake") == []
 
 
 def test_summary():

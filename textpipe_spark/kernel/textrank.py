@@ -7,7 +7,10 @@ gensim TextRank summary (``GensimTextRank``, ``operation.py:361-405`` /
 
 * keyterms: PageRank over the word co-occurrence graph (window=2) of the
   doc's tokens; top-n (term, score). Empty doc -> [] (doc.py:432-433);
-  unknown ranker -> ValueError (doc.py:435-437).
+  unknown ranker -> ValueError (doc.py:435-437); ranker='yake' is the
+  statistical YAKE scorer (``_yake``; ascending scores — lower is more
+  important); sgrank/scake are valid names (doc.py:434-439) that raise
+  NotImplementedError.
 * summary: PageRank over the sentence similarity graph (token-overlap /
   length-normalised, the gensim variant); returns the top ``ratio`` of
   sentences in document order; [] when uncompressible (doc.py:713-715).
@@ -28,7 +31,13 @@ _WORD = re.compile(RE_WORD)
 
 DAMPING = 0.85
 ITERATIONS = 40
-RANKERS = ("textrank",)
+# the reference's valid ranker set (doc.py:434-439); sgrank/scake delegate
+# to textacy graph algorithms not reproduced here and raise
+# NotImplementedError (a valid-but-unavailable name is NOT a ValueError —
+# the reference accepts all four)
+RANKERS = ("textrank", "sgrank", "scake", "yake")
+IMPLEMENTED_RANKERS = ("textrank", "yake")
+YAKE_WINDOW = 2  # context window, the textacy yake default
 
 
 def _pagerank(adj: np.ndarray) -> np.ndarray:
@@ -42,9 +51,92 @@ def _pagerank(adj: np.ndarray) -> np.ndarray:
     return r
 
 
+def _yake(clean: str, n_terms: int) -> list[tuple[str, float]]:
+    """YAKE single-word keyterm scores (Campos et al. 2018 ECIR / 2020
+    Information Sciences 509: "YAKE! Keyword extraction from single
+    documents using multiple local features") — pure statistics, no model.
+
+    Per-term features over the document's sentences (the published
+    formulas, window=2): casing W_Case = max(TF_upper, TF_proper) /
+    (1 + ln TF); position W_Pos = ln(ln(3 + median sentence index));
+    frequency W_Freq = TF / (mean + std of all term TFs); relatedness
+    W_Rel = 1 + (DL + DR) * TF / max_TF where DL/DR are distinct/total
+    neighbor ratios; sentence spread W_Sent = SF / #sentences. Score
+    S = (W_Rel * W_Pos) / (W_Case + W_Freq/W_Rel + W_Sent/W_Rel) —
+    LOWER is more important, so results sort ascending (ties
+    lexicographic). Candidates use the same admission rule as the
+    textrank path (len > 2, non-digit); context statistics see every
+    token. The paper's n-gram composition and Levenshtein dedup stages
+    are out of scope (unigram terms, like the textrank path).
+    Deterministic: plain-Python scalar arithmetic only.
+    """
+    sent_tokens = [
+        st for st in (
+            _WORD.findall(s) for s, _ in _sentences(clean or "")
+        ) if st
+    ]
+    if not sent_tokens:
+        return []
+    stats: dict[str, dict] = {}
+    for si, toks in enumerate(sent_tokens):
+        low = [t.lower() for t in toks]
+        for wi, tok in enumerate(toks):
+            st = stats.setdefault(low[wi], {
+                "tf": 0, "tf_a": 0, "tf_u": 0,
+                "sents": set(), "spos": [], "left": [], "right": [],
+            })
+            st["tf"] += 1
+            if len(tok) > 1 and tok.isupper():
+                st["tf_a"] += 1  # acronym-cased occurrence
+            elif wi > 0 and tok[0].isupper():
+                st["tf_u"] += 1  # proper-cased, not sentence-initial
+            st["sents"].add(si)
+            st["spos"].append(si)
+            st["left"].extend(low[max(0, wi - YAKE_WINDOW):wi])
+            st["right"].extend(low[wi + 1:wi + 1 + YAKE_WINDOW])
+    cand = {t: st for t, st in stats.items() if len(t) > 2 and not t.isdigit()}
+    if not cand:
+        return []
+    tfs = [st["tf"] for st in stats.values()]
+    n = len(tfs)
+    mean_tf = sum(tfs) / n
+    std_tf = math.sqrt(sum((x - mean_tf) ** 2 for x in tfs) / n)
+    max_tf = max(tfs)
+    n_sent = len(sent_tokens)
+    out = []
+    for term in sorted(cand):
+        st = cand[term]
+        tf = st["tf"]
+        w_case = max(st["tf_a"], st["tf_u"]) / (1.0 + math.log(tf))
+        spos = sorted(st["spos"])
+        k = len(spos)
+        median = (
+            float(spos[k // 2]) if k % 2
+            else (spos[k // 2 - 1] + spos[k // 2]) / 2.0
+        )
+        w_pos = math.log(math.log(3.0 + median))
+        w_freq = tf / (mean_tf + std_tf)
+        dl = len(set(st["left"])) / len(st["left"]) if st["left"] else 0.0
+        dr = len(set(st["right"])) / len(st["right"]) if st["right"] else 0.0
+        w_rel = 1.0 + (dl + dr) * (tf / max_tf)
+        w_sent = len(st["sents"]) / n_sent
+        score = (w_rel * w_pos) / (w_case + w_freq / w_rel + w_sent / w_rel)
+        out.append((term, round(float(score), 6)))
+    out.sort(key=lambda kv: (kv[1], kv[0]))
+    return out[:n_terms]
+
+
 def keyterms(clean: str, n_terms: int = 10, ranker: str = "textrank") -> list[tuple[str, float]]:
     if ranker not in RANKERS:
         raise ValueError(f"invalid ranker: {ranker!r}")  # doc.py:435-437 parity
+    if ranker not in IMPLEMENTED_RANKERS:
+        raise NotImplementedError(
+            f"ranker {ranker!r} delegates to textacy graph algorithms not "
+            "reproduced in this kernel (reference doc.py:434-439 accepts "
+            "it; documented gap)"
+        )
+    if ranker == "yake":
+        return _yake(clean or "", n_terms)
     toks = [t.lower() for t in _WORD.findall(clean or "")]
     toks = [t for t in toks if len(t) > 2 and not t.isdigit()]
     if not toks:

@@ -2237,6 +2237,12 @@ def _golden_keyterms(raw):
     return (ktr.keyterms(_g_clean(raw)),)
 
 
+def _golden_keyterms_yake(raw):
+    from .kernel import textrank as ktr
+
+    return (ktr.keyterms(_g_clean(raw), ranker="yake"),)
+
+
 def _golden_summary(raw):
     from .kernel import textrank as ktr
 
@@ -2330,13 +2336,16 @@ q_tokens_parity = _parity_query(
         ("w", "array<struct<token:string,offset:int>>"),
         ("s", "array<struct<text:string,start:int>>"),
         ("kt", "array<struct<term:string,score:double>>"),
+        ("kty", "array<struct<term:string,score:double>>"),
         ("sm", "array<string>"),
     ],
-    _combine(_golden_words, _golden_sentences, _golden_keyterms, _golden_summary),
+    _combine(_golden_words, _golden_sentences, _golden_keyterms,
+             _golden_keyterms_yake, _golden_summary),
     lambda: {
         "w": udfs.words_udf(F.col("clean")),
         "s": udfs.sentences_udf(F.col("clean")),
         "kt": udfs.keyterms_udf(F.col("clean")),
+        "kty": udfs.keyterms_yake_udf(F.col("clean")),
         "sm": udfs.summary_udf(F.col("clean")),
     },
 )

@@ -140,6 +140,13 @@ def keyterms_udf(clean: pd.Series) -> pd.Series:
     return pd.Series([ktr.keyterms(t or "") for t in clean])
 
 
+@F.pandas_udf(KEYTERMS_SCHEMA)
+def keyterms_yake_udf(clean: pd.Series) -> pd.Series:
+    from .kernel import textrank as ktr
+
+    return pd.Series([ktr.keyterms(t or "", ranker="yake") for t in clean])
+
+
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def summary_udf(clean: pd.Series) -> pd.Series:
     from .kernel import textrank as ktr
