@@ -267,7 +267,21 @@ def emb_dir(tmp_path_factory):
         {
             "vec_id": pa.array(range(EMB_N), type=pa.int64()),
             "embedding": pa.array(
-                [row.tolist() for row in m], type=pa.list_(pa.float32())
+                # row 20 carries a NULL component: excluded on BOTH engines
+                # by spec (Spark exists + IS NULL arm, DuckDB list_filter
+                # IS NULL arm, Arrow block kernels see it as NaN) — without
+                # the explicit NULL arms the engines diverge (Spark's
+                # exists yields NULL -> dropped; DuckDB's list_filter
+                # skips the NULL predicate -> admitted)
+                [
+                    (
+                        row.tolist()[:3] + [None] + row.tolist()[4:]
+                        if i == 20
+                        else row.tolist()
+                    )
+                    for i, row in enumerate(m)
+                ],
+                type=pa.list_(pa.float32()),
             ),
             "label": pa.array(labels.tolist(), type=pa.int32()),
         }

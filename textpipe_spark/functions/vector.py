@@ -35,13 +35,20 @@ def all_finite_col(a: Column) -> Column:
     admission check. Component-level on purpose: float32 inputs cannot
     overflow a double sum-of-squares, so component-finiteness equals
     norm-finiteness, and the identical predicate is expressible in
-    DuckDB (`len(list_filter(v, x -> NOT isfinite(x))) = 0`) where
-    Spark/DuckDB NaN COMPARISON semantics (both order NaN largest, so
-    `nrm > 0` admits a NaN norm) could not be trusted to agree with
-    numpy's (`NaN >= t` false) inside the Arrow-batched block kernels."""
+    DuckDB (`len(list_filter(v, x -> x IS NULL OR NOT isfinite(x))) = 0`)
+    where Spark/DuckDB NaN COMPARISON semantics (both order NaN largest,
+    so `nrm > 0` admits a NaN norm) could not be trusted to agree with
+    numpy's (`NaN >= t` false) inside the Arrow-batched block kernels.
+
+    A NULL component excludes the vector on BOTH engines (the explicit
+    IS NULL arm): without it, Spark's exists yields NULL (row dropped by
+    where) while DuckDB's list_filter treats the NULL predicate as false
+    (element skipped, row admitted). Arrow agrees: a null list element
+    reaches the Python block kernels as NaN, which np.isfinite rejects."""
     inf = F.lit(float("inf"))
     return ~F.exists(
-        a, lambda x: F.isnan(x.cast("double")) | (F.abs(x) == inf)
+        a,
+        lambda x: x.isNull() | F.isnan(x.cast("double")) | (F.abs(x) == inf),
     )
 
 

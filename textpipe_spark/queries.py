@@ -811,7 +811,7 @@ WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
 cand AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          FROM embeddings WHERE vec_id != 0
            AND len(list_filter(list_transform(embedding, x -> CAST(x AS DOUBLE)),
-                               x -> NOT isfinite(x))) = 0),
+                               x -> x IS NULL OR NOT isfinite(x))) = 0),
 scored AS (
   SELECT vec_id,
          CASE WHEN sqrt(list_sum(list_transform(v, x -> x*x)))
@@ -848,7 +848,7 @@ SQL_EMBEDDING_NEAR_DUP = f"""
 WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
             FROM embeddings
             WHERE len(list_filter(list_transform(embedding, x -> CAST(x AS DOUBLE)),
-                                  x -> NOT isfinite(x))) = 0),
+                                  x -> x IS NULL OR NOT isfinite(x))) = 0),
 e1 AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e0),
 e AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM e1 WHERE nrm > 0),
 pairs AS (
@@ -894,7 +894,7 @@ WITH e AS (SELECT vec_id, label,
       FROM embeddings),
 n AS (SELECT vec_id, label,
         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS vn
-      FROM e WHERE len(list_filter(v, x -> NOT isfinite(x))) = 0
+      FROM e WHERE len(list_filter(v, x -> x IS NULL OR NOT isfinite(x))) = 0
         AND list_sum(list_transform(v, y -> y*y)) > 0),
 q AS (SELECT vec_id AS query_id, vn AS qn FROM n WHERE vec_id < {KNN_N_QUERIES}),
 c AS (SELECT vec_id AS corpus_id, label, vn FROM n WHERE vec_id >= {KNN_N_QUERIES}),
@@ -976,7 +976,13 @@ def q_doc_vector_stats(spark, sf_dir):
 SQL_DOC_VECTOR_STATS = """
 WITH base AS (
   SELECT CAST(label AS BIGINT) AS label,
-         sqrt(list_sum(list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x*x))) AS nrm
+         -- NULL-propagation parity: Spark's sequential fold (norm_col)
+         -- yields NULL when any component is NULL and avg() then skips
+         -- the row; DuckDB's list_sum would SKIP the NULL element and
+         -- produce a number — force the same NULL norm explicitly
+         CASE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN NULL
+              ELSE sqrt(list_sum(list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x*x)))
+         END AS nrm
   FROM embeddings)
 SELECT label, CAST(count(*) AS BIGINT) AS n_vecs, round(avg(nrm), 4) AS avg_norm
 FROM base GROUP BY 1
@@ -2603,7 +2609,12 @@ def q_ann_topk_lsh_parity(spark, sf_dir):
             rows.extend(zip(pdf["vec_id"], pdf["embedding"]))
         vecs = {int(i): np.asarray(v, dtype=np.float32) for i, v in rows}
         qv = vecs[0]
-        mat_ids = sorted(i for i in vecs if i != 0)
+        # same admission rule as the Spark index (similarity.lsh_topk
+        # filters non-finite vectors, similarity.py:96): a NaN/Inf row in
+        # the golden candidate set would score nondeterministically
+        mat_ids = sorted(
+            i for i in vecs if i != 0 and np.isfinite(vecs[i]).all()
+        )
         mat = np.vstack([vecs[i] for i in mat_ids])
 
         def sig(m, seed):
