@@ -312,10 +312,12 @@ def test_simhash_generalized_chunk_blocking(spark):
 
 
 def test_decontaminate_flags_benchmark_ngrams(spark):
-    """dedup.decontaminate: a corpus doc sharing any word 3-gram with the
+    """dedup.decontaminate: a corpus doc sharing any word k-gram with the
     benchmark set is flagged with the count of DISTINCT shared shingles;
-    <3-token docs fall back to whole-sequence shingles (kernel
-    minhash.shingles semantics); empty docs are never contaminated."""
+    <k-token docs fall back to whole-sequence shingles (kernel
+    minhash.shingles semantics); empty docs are never contaminated.
+    Exercised at k=3 (the fixture's overlap width) and the k=8 default
+    (same fixture stops matching except via the fallback shingle)."""
     from textpipe_spark.dedup import decontaminate
 
     bench = spark.createDataFrame(
@@ -338,10 +340,24 @@ def test_decontaminate_flags_benchmark_ngrams(spark):
     )
     out = {
         r["doc_id"]: (r["n_contaminated"], r["contaminated"])
-        for r in decontaminate(corpus, bench, "text", "doc_id").collect()
+        for r in decontaminate(corpus, bench, "text", "doc_id", k=3).collect()
     }
     assert out == {
         0: (2, True),
+        1: (0, False),
+        2: (0, False),
+        3: (1, True),
+        4: (0, False),
+    }
+    # production default (k=8): doc 0 shares only a 4-gram run with the
+    # benchmark — too short for an 8-gram hit — while the <k-token docs
+    # still match through the whole-sequence fallback shingle
+    wide = {
+        r["doc_id"]: (r["n_contaminated"], r["contaminated"])
+        for r in decontaminate(corpus, bench, "text", "doc_id").collect()
+    }
+    assert wide == {
+        0: (0, False),
         1: (0, False),
         2: (0, False),
         3: (1, True),
