@@ -1,0 +1,83 @@
+"""Isolated per-query re-probe with steal/spin attribution.
+
+Usage: python tools/probe_queries.py [query ...]   (default: the r4
+regressed set). Runs each query N times (default 4) at the bench config
+(local[32], sf0.1, small splits), records EVERY run's wall + steal delta
+and the best run's spin calibration, prints one JSON line. A best run
+with steal <= 5 jiffies is quiet-window evidence; anything else is
+weather and says so in the output.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+RUNS = int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "4"))
+
+DEFAULT = [
+    "fingerprint_overlap", "jaccard_pairs", "knn_label",
+    "sentiment_multilang", "word_counts", "embedding_near_dup",
+    "ann_topk", "doc_vector_stats", "event_window_metrics",
+    "minhash_lsh_pairs",
+]
+
+
+def steal() -> int:
+    with open("/proc/stat") as fh:
+        return int(fh.readline().split()[8])
+
+
+def spin() -> int:
+    end = time.monotonic() + 0.2
+    n = 0
+    while time.monotonic() < end:
+        n += 1
+    return n
+
+
+def main() -> None:
+    from textpipe_spark.io import spark_session
+    from textpipe_spark.queries import QUERIES
+
+    names = sys.argv[1:] or DEFAULT
+    spark = spark_session(app="probe", cores=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(256 * 1024))
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    QUERIES["token_stats"](spark, SF_DIR).count()  # warm workers
+
+    out = {}
+    for name in names:
+        fn = QUERIES[name]
+        walls, steals = [], []
+        best, best_steal, best_spin = 1e9, -1, -1
+        for _ in range(RUNS):
+            s0 = steal()
+            t0 = time.monotonic()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            w = time.monotonic() - t0
+            st = steal() - s0
+            walls.append(round(w, 3))
+            steals.append(st)
+            if w < best:
+                best, best_steal = w, st
+                best_spin = spin()
+            spark.catalog.clearCache()
+        out[name] = {
+            "best": round(best, 3), "best_steal": best_steal,
+            "best_spin": best_spin, "walls": walls, "steals": steals,
+            "quiet": best_steal <= 5,
+        }
+    print(json.dumps({"sf": SF_DIR, "cpus": CPUS, "probe": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
