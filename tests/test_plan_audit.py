@@ -102,3 +102,25 @@ def test_near_dup_tiers_shuffle_only_by_hash(spark):
             assert kind in ("hashpartitioning", "roundrobinpartitioning"), (
                 f"{name}: non-hash shuffle exchange {kind} in\n{plan}"
             )
+
+
+def test_pair_mining_plans_are_linear(spark):
+    """The r5 pair-mining shape (PLANS.md §3): jaccard_pairs and
+    fingerprint_overlap are ONE linear pipeline — window df-cap + sizes
+    riding the posting-list structs. Any Join node (the old anti-join
+    df-cap or post-hoc size joins), InMemoryTableScan (the old persisted
+    fan-out) or a second emission of the winnow/shingle expression (the
+    InferFiltersFromGenerate pushed-copy regression, io.py) would be the
+    3.8x r4 bench regression coming back."""
+    for name in ("jaccard_pairs", "fingerprint_overlap"):
+        df = QUERIES[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan, f"{name}: join in the linear plan\n{plan}"
+        assert "InMemoryTableScan" not in plan, (
+            f"{name}: persisted intermediate in the linear plan\n{plan}"
+        )
+    fp = QUERIES["fingerprint_overlap"](spark, SF_DIR)
+    fp_plan = fp._jdf.queryExecution().executedPlan().toString()
+    assert fp_plan.count("ArrowEvalPython") == 1, (
+        "winnow UDF emitted more than once:\n" + fp_plan
+    )

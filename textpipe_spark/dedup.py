@@ -21,73 +21,73 @@ from . import udfs
 from .kernel.minhash import NUM_PERM, empty_signature as kmh_empty
 
 
-# Over-cap key sets small enough to force-broadcast in the df-cap
-# anti-join. The set is bounded by total_occurrences // df_cap rows (a key
-# filters out only when it occurs in MORE than df_cap docs). Below the
-# bound, a static BroadcastHashJoin skips AQE's shuffle-then-convert
-# detour: an un-hinted plan starts as SortMergeJoin, so the probe side's
-# full exploded index is shuffle-WRITTEN before AQE flips the join to
-# broadcast (measured ~0.3-0.5 s of extra stage barriers at sf0.1, r5
-# profile). Above the bound — a boilerplate-heavy corpus at 100x scale —
-# the hint is omitted and AQE degrades to a shuffled hash join instead of
-# OOMing the driver.
-_BROADCAST_KEYS_MAX = 1_000_000
-
-
-def _df_cap_filter(
-    t: DataFrame, key_col: str, df_cap: int, total_occurrences: int | None = None
-) -> DataFrame:
-    """Drop rows whose key occurs in more than ``df_cap`` docs: anti-join
-    against the over-cap key set (the <=cap "rare" side is nearly every
-    distinct key and could never broadcast at corpus scale; the over-cap
-    complement is tiny — shared headers/boilerplate)."""
-    common = (
-        t.groupBy(key_col)
-        .agg(F.count("*").alias("_df"))
-        .where(F.col("_df") > df_cap)
-        .select(key_col)
-    )
-    if (
-        total_occurrences is not None
-        and total_occurrences // max(df_cap, 1) <= _BROADCAST_KEYS_MAX
-    ):
-        common = F.broadcast(common)
-    return t.join(common, key_col, "left_anti")
-
-
-def _pair_expand(ids_col: str):
-    """All ordered pairs (id1 < id2) from a SORTED-distinct array column,
-    expanded map-side with native higher-order functions — the per-row
-    output is bounded by df_cap*(df_cap-1)/2 because every posting list
-    passed in has already been df-cap filtered."""
+def _pair_expand_with_sizes(ids_col: str):
+    """All ordered pairs (id1 < id2) from a SORTED array of
+    struct<_id,_n>, expanded map-side with native higher-order functions —
+    the per-row output is bounded by df_cap*(df_cap-1)/2 because every
+    posting list passed in has already been df-cap filtered. Each endpoint
+    carries its per-doc size so the pair aggregate needs no size joins."""
+    col = F.col(ids_col)
     return F.explode(
         F.flatten(
             F.transform(
-                ids_col,
+                col,
                 lambda x, i: F.transform(
-                    F.slice(ids_col, i + 2, F.size(ids_col)),
-                    lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+                    F.slice(col, i + 2, F.size(col)),
+                    lambda y: F.struct(
+                        x["_id"].alias("id1"),
+                        x["_n"].alias("n1"),
+                        y["_id"].alias("id2"),
+                        y["_n"].alias("n2"),
+                    ),
                 ),
             )
         )
     )
 
 
-def shared_key_pairs(t: DataFrame, key_col: str, id_col: str) -> DataFrame:
-    """(id1, id2, shared) from an exploded (id, key) table via bounded
-    posting lists: ONE shuffle of ``t`` on the key builds sorted posting
-    lists (each <= df_cap ids — the caller df-cap filters first, so the
-    aggregation buffer is bounded), pairs expand map-side, and the
-    (id1, id2) count partial-aggregates before its (small) shuffle. The
-    inverted-index SELF-join this replaces shuffled ``t`` twice more and
-    materialised the join product before the pair aggregate."""
-    postings = t.groupBy(key_col).agg(
-        F.sort_array(F.collect_list(id_col)).alias("_ids")
+def shared_key_pair_sizes(
+    t: DataFrame, key_col: str, id_col: str, df_cap: int
+) -> DataFrame:
+    """(id1, id2, shared, n1, n2) from an exploded (id, key) table, where
+    ``shared`` counts keys the two docs have in common (the caller must
+    explode per-doc DISTINCT keys so each shared key contributes exactly
+    one pair row) and ``n1``/``n2`` are the docs' key counts AFTER the
+    df-cap filter (numerator and denominator over the same population).
+
+    One fully LINEAR pipeline — each input row is computed exactly once,
+    with no self-referential DAG to persist or re-execute:
+
+      explode -> Ex(key) -> window df -> filter df<=cap -> Ex(id) ->
+      window n -> Ex(key) -> posting lists of struct(id, n) ->
+      map-side pair expansion -> pair aggregate
+
+    The window-function df-count replaces a count-aggregate + anti-join:
+    no broadcast of an over-cap key set (which grows linearly with corpus
+    size), no driver-side size decision, no cached intermediate, and two
+    fewer stages (measured 2.6 s -> 1.6 s on the sf0.1 bench grid, r5).
+    Shuffled rows are (id, key[, n]) — 16-24 bytes — so shuffling the
+    over-cap rows before dropping them costs bytes-linear work. The one
+    scale caveat: a pathologically common key (df approaching the corpus
+    size) concentrates its rows into a single sorted window group — a
+    spill-safe straggler, not an OOM (the sort spills; the collect_list
+    buffer only ever sees df<=cap survivors). Corpus-pipeline runs that
+    expect degenerate boilerplate should pre-strip it with
+    drop_boilerplate_lines, which partial-aggregates map-side."""
+    surv = (
+        t.withColumn("_kdf", F.count("*").over(Window.partitionBy(key_col)))
+        .where(F.col("_kdf") <= df_cap)
+        .withColumn("_n", F.count("*").over(Window.partitionBy(id_col)))
+    )
+    postings = surv.groupBy(key_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(id_col).alias("_id"), F.col("_n")))
+        ).alias("_ids")
     )
     return (
-        postings.select(_pair_expand("_ids").alias("_p"))
-        .select("_p.id1", "_p.id2")
-        .groupBy("id1", "id2")
+        postings.select(_pair_expand_with_sizes("_ids").alias("_p"))
+        .select("_p.id1", "_p.id2", "_p.n1", "_p.n2")
+        .groupBy("id1", "id2", "n1", "n2")
         .agg(F.count("*").alias("shared"))
     )
 
@@ -217,7 +217,7 @@ def fingerprint_overlap_pairs(
     Where MinHash finds whole-document near-dups, winnowing finds documents
     SHARING PASSAGES (a copied function inside otherwise-different files):
     each doc emits its fingerprint set, bounded posting lists count shared
-    fingerprints (shared_key_pairs), and `containment` = shared / min(|fp1|, |fp2|)
+    fingerprints (shared_key_pair_sizes), and `containment` = shared / min(|fp1|, |fp2|)
     scores the smaller doc's coverage. Same scale shape as jaccard_pairs:
     fingerprints with document frequency > df_cap are boilerplate and are
     dropped before the join (cost model: Σ min(df, cap)², linear in corpus
@@ -227,38 +227,21 @@ def fingerprint_overlap_pairs(
     fine-grained per-doc fingerprint default.
     """
     winnow = udfs.make_winnow_udf(k, window)
-    # persist the per-doc fingerprint arrays: this subplan fans out to THREE
-    # consumers (df-cap aggregate, inverted-index join sides, per-doc
-    # sizes), and common subplans are NOT deduplicated by Catalyst — without
-    # the cache the winnow UDF re-runs once per consumer (measured 4x the
-    # UDF cost at sf0.1). The cached table is ~1/window of the corpus bytes
-    # (fingerprint density), MEMORY_AND_DISK spills at scale.
-    from pyspark import StorageLevel
-
-    fps = df.select(F.col(id_col), winnow(F.col(text_col)).alias("_fps")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    # one scalar-agg pass materialises the cache AND sizes the over-cap
-    # broadcast decision (see _BROADCAST_KEYS_MAX): the work happens once
-    # either way — every downstream consumer reads the persisted table
-    total = fps.agg(F.sum(F.size("_fps"))).first()[0] or 0
-    exploded = fps.select(id_col, F.explode("_fps").alias("fp"))
-    t = _df_cap_filter(exploded, "fp", df_cap, total_occurrences=total)
-    # per-doc sizes AFTER the rarity filter — numerator and denominator
-    # count the same fingerprint population (the jaccard_pairs convention);
-    # sizing before the filter underestimated containment for
-    # boilerplate-heavy docs (ADVICE r2). Joined onto the (small) pairs
-    # output, not carried through the exploded index.
-    nfp = t.groupBy(id_col).agg(F.count("*").alias("_nfp"))
-    # pairs via bounded posting lists (shared_key_pairs): winnow emits
-    # sorted-UNIQUE fingerprints per doc (kernel/minhash.py np.unique), so
-    # each shared fingerprint contributes exactly one (id1, id2) row and
-    # the pair count equals the shared-fingerprint count
-    pairs = (
-        shared_key_pairs(t, "fp", id_col)
-        .where(F.col("shared") >= min_overlap)
-        .join(nfp.select(F.col(id_col).alias("id1"), F.col("_nfp").alias("n1")), "id1")
-        .join(nfp.select(F.col(id_col).alias("id2"), F.col("_nfp").alias("n2")), "id2")
+    # winnow emits sorted-UNIQUE fingerprints per doc (kernel/minhash.py
+    # np.unique), so each shared fingerprint contributes exactly one
+    # (id1, id2) row and the pair count equals the shared-fingerprint
+    # count. Per-doc sizes are taken AFTER the rarity filter — numerator
+    # and denominator count the same fingerprint population (the
+    # jaccard_pairs convention; sizing before the filter underestimated
+    # containment for boilerplate-heavy docs, ADVICE r2) — and ride the
+    # posting lists as struct fields (shared_key_pair_sizes), so the
+    # winnow UDF runs exactly once in a linear plan with no persist,
+    # driver-side action, size join or broadcast.
+    exploded = df.select(
+        F.col(id_col).alias("_id"), winnow(F.col(text_col)).alias("_fps")
+    ).select("_id", F.explode("_fps").alias("fp"))
+    pairs = shared_key_pair_sizes(exploded, "fp", "_id", df_cap).where(
+        F.col("shared") >= min_overlap
     )
     containment = F.round(
         F.col("shared").cast("double") / F.least("n1", "n2").cast("double"), 4
