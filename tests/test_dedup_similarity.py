@@ -163,6 +163,43 @@ def test_fingerprint_overlap_pairs(spark):
     assert (2, 3) not in pairs
 
 
+def test_shared_key_pair_sizes_df_cap(spark):
+    """The r5 linear pair-mining core (dedup.shared_key_pair_sizes): a key
+    whose document frequency exceeds df_cap is excluded from BOTH the
+    shared count and the per-doc sizes (numerator and denominator over the
+    same post-filter population), and sizes ride the posting lists rather
+    than a join."""
+    rows = (
+        # "common" in 4 docs (over cap=3); rare keys tie 1-2 together
+        [(d, "common") for d in (1, 2, 3, 4)]
+        + [(1, "rare_a"), (2, "rare_a"), (1, "rare_b"), (2, "rare_b")]
+        + [(3, "solo")]
+    )
+    t = spark.createDataFrame(rows, "doc_id long, key string")
+
+    got = {
+        (r["id1"], r["id2"]): (r["shared"], r["n1"], r["n2"])
+        for r in dedup.shared_key_pair_sizes(t, "key", "doc_id", df_cap=3).collect()
+    }
+    # "common" dropped: doc sizes count only surviving keys (1->2, 2->2),
+    # docs 3/4 pair with nobody (their only shared key was over-cap)
+    assert got == {(1, 2): (2, 2, 2)}
+
+    # raising the cap re-admits "common": every doc pair shares it
+    got4 = {
+        (r["id1"], r["id2"]): (r["shared"], r["n1"], r["n2"])
+        for r in dedup.shared_key_pair_sizes(t, "key", "doc_id", df_cap=4).collect()
+    }
+    assert got4 == {
+        (1, 2): (3, 3, 3),
+        (1, 3): (1, 3, 2),
+        (1, 4): (1, 3, 1),
+        (2, 3): (1, 3, 2),
+        (2, 4): (1, 3, 1),
+        (3, 4): (1, 2, 1),
+    }
+
+
 def test_drop_boilerplate_lines(spark):
     """Corpus-level boilerplate line removal: a header repeated across >
     max_df docs is dropped from every doc, unique lines and blank-line
