@@ -10,7 +10,7 @@ over a handcrafted + hypothesis-generated corpus where those branches
 all fire, for EVERY SQL-oracled query that reads only the documents
 table, plus the grouped kernel-parity goldens (asserted zero-mismatch).
 
-One Spark job per query on a ~120-row corpus: small enough to stay
+One Spark job per query on a ~230-row corpus: small enough to stay
 test-suite-friendly, adversarial enough that a dialect divergence in any
 regex/threshold shows up as a hash mismatch here before the driver or a
 100 TB run ever sees it.
@@ -101,9 +101,22 @@ WEIRD_DOCS = [
     ("x" * 90 + " ") * 10,  # long words rule
 ]
 
+# df-cap burst (r5): more than JACCARD_DF_CAP docs share the 3-gram
+# "boilerplate stop shingle", so the over-cap drop branch fires in BOTH
+# engines (it was cold on the driver's sf0.01 corpus and on the ~120-row
+# sweep). The first two burst docs also share a long rare tail: their
+# pair's jaccard VALUE (0.625 = 10/(13+13-10)) depends on the over-cap
+# shingle being excluded from numerator AND denominator — a broken cap
+# shifts it to 0.647 and the value hash catches it.
+_RARE_TAIL = " zqa zqb zqc zqd zqe zqf zqg zqh zqi zqj zqk zql"
+DF_CAP_BURST = [
+    f"boilerplate stop shingle uniq{i}" + (_RARE_TAIL if i < 2 else "")
+    for i in range(105)
+]
+
 _HANDCRAFTED = (
     SENTENCE_DOCS + EMOJI_DOCS + LANG_DOCS + STRUCTURE_DOCS + PII_DOCS
-    + WEIRD_DOCS + CHARREF_EDGE_CASES
+    + WEIRD_DOCS + CHARREF_EDGE_CASES + DF_CAP_BURST
 )
 
 # SQL-oracled queries that read ONLY the documents table (driver-mimic
