@@ -1,0 +1,116 @@
+"""Per-query JVM CPU-second probe — hypervisor-steal-immune cost evidence.
+
+Wall time on this VM measures the host's weather as much as the code
+(BENCH/BASELINE.md); CPU seconds charged to the Spark JVM do not inflate
+under steal (stolen time is time NOT running). Usage:
+
+    python tools/probe_cpu.py [query ...]   (default: the pair-mining set)
+
+Prints one JSON line per query: best wall of N runs, JVM cpu-seconds for
+that run (utime+stime delta of every java process), and the run's steal
+jiffies for context.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+RUNS = int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "3"))
+
+DEFAULT = ["fingerprint_overlap", "jaccard_pairs"]
+
+
+def steal() -> int:
+    with open("/proc/stat") as fh:
+        return int(fh.readline().split()[8])
+
+
+def jvm_cpu_jiffies() -> int:
+    """utime+stime over every 'java' process (the one local JVM plus any
+    python workers' parents are not java; Arrow workers are python and
+    excluded deliberately — they are measured separately if needed)."""
+    total = 0
+    for stat in glob.glob("/proc/[0-9]*/stat"):
+        try:
+            with open(stat) as fh:
+                parts = fh.read().rsplit(") ", 1)
+                comm = parts[0].split("(", 1)[1]
+                if comm != "java":
+                    continue
+                f = parts[1].split()
+                total += int(f[11]) + int(f[12])  # utime, stime
+        except OSError:
+            continue
+    return total
+
+
+def py_worker_cpu_jiffies() -> int:
+    """utime+stime over pyspark daemon/worker python processes (cmdline
+    contains pyspark.daemon or pyspark.worker)."""
+    total = 0
+    for pid_dir in glob.glob("/proc/[0-9]*"):
+        try:
+            with open(os.path.join(pid_dir, "cmdline"), "rb") as fh:
+                cmd = fh.read().replace(b"\x00", b" ")
+            if b"pyspark.daemon" not in cmd and b"pyspark.worker" not in cmd:
+                continue
+            with open(os.path.join(pid_dir, "stat")) as fh:
+                f = fh.read().rsplit(") ", 1)[1].split()
+            total += int(f[11]) + int(f[12])
+        except OSError:
+            continue
+    return total
+
+
+def main() -> None:
+    names = sys.argv[1:] or DEFAULT
+
+    from textpipe_spark.io import spark_session
+    from textpipe_spark.queries import QUERIES
+
+    spark = spark_session(app="probe_cpu", cores=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(256 * 1024))
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+
+    QUERIES[names[0]](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    hz = os.sysconf("SC_CLK_TCK")
+    for name in names:
+        fn = QUERIES[name]
+        best = None
+        for _ in range(RUNS):
+            s0, c0, p0 = steal(), jvm_cpu_jiffies(), py_worker_cpu_jiffies()
+            t0 = time.monotonic()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            wall = time.monotonic() - t0
+            rec = {
+                "query": name,
+                "wall_sec": round(wall, 3),
+                "jvm_cpu_sec": round((jvm_cpu_jiffies() - c0) / hz, 2),
+                # clamped: pyspark.daemon recycles idle workers, so a
+                # cumulative-counter delta can go negative across runs
+                "pyworker_cpu_sec": round(
+                    max(0.0, (py_worker_cpu_jiffies() - p0) / hz), 2
+                ),
+                "steal_jiffies": steal() - s0,
+            }
+            if best is None or rec["jvm_cpu_sec"] + rec["pyworker_cpu_sec"] < (
+                best["jvm_cpu_sec"] + best["pyworker_cpu_sec"]
+            ):
+                best = rec
+            spark.catalog.clearCache()
+        print(json.dumps(best))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
