@@ -124,3 +124,18 @@ def test_pair_mining_plans_are_linear(spark):
     assert fp_plan.count("ArrowEvalPython") == 1, (
         "winnow UDF emitted more than once:\n" + fp_plan
     )
+
+
+def test_small_lexicons_are_local_relations(spark):
+    """Driver-side lists must become LocalRelations (io.small_local_df),
+    never parallelize()d RDDs: the plain-list createDataFrame path forks
+    one Python worker per core for a 58-row lexicon (~7 CPU-s of worker
+    start-up and ~0.5 s wall per call at local[32], measured r5). A
+    'Scan ExistingRDD' in these plans is that cost coming back."""
+    for name in ("sentiment", "sentiment_multilang"):
+        df = QUERIES[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ExistingRDD" not in plan, (
+            f"{name}: lexicon went through parallelize, not a LocalRelation\n"
+            + plan
+        )

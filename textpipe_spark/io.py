@@ -138,3 +138,22 @@ def apply_runtime_tuning(spark: SparkSession) -> None:
     reach the plans being graded. Only confs Spark allows to change at
     runtime belong here."""
     spark.conf.set("spark.sql.optimizer.excludedRules", _EXCLUDED_OPTIMIZER_RULES)
+    # small_local_df depends on the Arrow conversion path; runtime-settable
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+
+
+def small_local_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """Local relation from a small driver-side Python list WITHOUT an RDD
+    job. ``spark.createDataFrame(list)`` goes through ``parallelize``,
+    which splits even a 58-row lexicon across every core and forks one
+    Python worker per slice — measured ~7 CPU-s of worker start-up and
+    ~0.5 s wall per call at local[32] (r5, /tmp lexicon experiment). The
+    pandas+Arrow path converts driver-side into a LocalRelation: zero
+    Python workers, zero jobs, ~0.1 s. ``schema`` is a simple DDL string
+    ("name type, ..."); column names are taken from it so callers pass
+    plain tuples exactly as they did with createDataFrame."""
+    import pandas as pd
+
+    apply_runtime_tuning(spark)
+    cols = [f.strip().split()[0] for f in schema.split(",")]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=cols), schema)

@@ -73,7 +73,9 @@ class LineageLog:
         # field order taken from the SCHEMA, not from dict insertion
         # order — a reordered caller dict must not silently swap columns
         ordered = tuple(row[f.split()[0]] for f in LINEAGE_SCHEMA.split(", "))
-        spark.createDataFrame([ordered], LINEAGE_SCHEMA).write.mode(
+        from .io import small_local_df
+
+        small_local_df(spark, [ordered], LINEAGE_SCHEMA).write.mode(
             "append"
         ).parquet(self.root)
 

@@ -426,8 +426,11 @@ def q_sentiment(spark, sf_dir):
     d = _docs(spark, sf_dir)
     toks = X.tokens_lower_col(F.col("clean"))
     base = d.select("doc_id", F.explode_outer(toks).alias("token"))
+    from .io import small_local_df
+
     lex = F.broadcast(
-        spark.createDataFrame(
+        small_local_df(
+            spark,
             [(t, int(round(p * 10))) for t, p in sorted(ksent.POLARITY.items())],
             "token string, pol10 long",
         )
@@ -493,8 +496,10 @@ def q_sentiment_multilang(spark, sf_dir):
         for lg, lex in sorted(ksent.LEXICONS.items())
         for t, p in sorted(lex.items())
     ]
+    from .io import small_local_df
+
     lex = F.broadcast(
-        spark.createDataFrame(rows, "lang string, token string, pol10 long")
+        small_local_df(spark, rows, "lang string, token string, pol10 long")
     )
     grouped = base.join(lex, ["lang", "token"], "left").groupBy("doc_id", "lang").agg(
         F.when(
@@ -2778,7 +2783,9 @@ def q_streaming_replay_parity(spark, sf_dir):
         ]
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    s = spark.createDataFrame(kept_rows or [], "doc_id long, s_epoch int")
+    from .io import small_local_df
+
+    s = small_local_df(spark, kept_rows or [], "doc_id long, s_epoch int")
 
     from .kernel.minhash import NUM_PERM
 
