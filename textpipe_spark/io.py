@@ -100,6 +100,8 @@ def spark_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        # see apply_runtime_tuning for the minPartitionSize rationale
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "5000")
         .config("spark.sql.files.maxPartitionBytes", "128m")
@@ -140,6 +142,15 @@ def apply_runtime_tuning(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.optimizer.excludedRules", _EXCLUDED_OPTIMIZER_RULES)
     # small_local_df depends on the Arrow conversion path; runtime-settable
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # AQE coalescing collapses the pair-mining queries' post-df-cap
+    # shuffles (a few MB of 16-24-byte keyed rows, but sort/expand
+    # CPU-heavy) to ONE task at the default 1m minPartitionSize — the r5
+    # stage profile showed window-sort -> pair-expand -> aggregate running
+    # serially on one core (~1.4 s of the fingerprint wall). 64k keeps
+    # small-but-CPU-dense shuffles wide; at cluster scale shuffles are
+    # GBs and parallelismFirst (default true) governs, so this only
+    # changes the tiny end.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
 
 
 def small_local_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
