@@ -104,26 +104,46 @@ def test_near_dup_tiers_shuffle_only_by_hash(spark):
             )
 
 
-def test_pair_mining_plans_are_linear(spark):
+def test_pair_mining_single_emission(spark):
     """The r5 pair-mining shape (PLANS.md §3): jaccard_pairs and
-    fingerprint_overlap are ONE linear pipeline — window df-cap + sizes
-    riding the posting-list structs. Any Join node (the old anti-join
-    df-cap or post-hoc size joins), InMemoryTableScan (the old persisted
-    fan-out) or a second emission of the winnow/shingle expression (the
-    InferFiltersFromGenerate pushed-copy regression, io.py) would be the
-    3.8x r4 bench regression coming back."""
+    fingerprint_overlap run the expensive chain (clean/winnow + explode
+    + window df-cap + posting lists + pair expansion) exactly ONCE. The
+    per-doc sizes come back from self-pair sentinel rows via two
+    AQE-planned joins against a one-row-per-doc sizes table — so the
+    RUNTIME adaptive plan must show both heavy exchanges materialised
+    once and REUSED by the sizes branches (ReusedExchange x2). Without
+    the pushdown barrier in shared_key_pair_sizes, Catalyst pushes the
+    branch filters below the shared pair aggregate, the exchange
+    subtrees diverge, and the window+expand mid-chain re-runs per branch
+    (2x JVM CPU, measured r5). No persisted intermediate, no
+    sort-merge join at driver scale (the sizes side must broadcast),
+    and the winnow UDF must appear exactly once."""
+    def final_section(df):
+        # executedPlan().toString() prints BOTH the final and the
+        # initial adaptive plan; only the final section describes what
+        # actually ran
+        s = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in s, "plan not adaptive-final"
+        return s.split("== Initial Plan ==")[0]
+
     for name in ("jaccard_pairs", "fingerprint_overlap"):
         df = QUERIES[name](spark, SF_DIR)
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "Join" not in plan, f"{name}: join in the linear plan\n{plan}"
-        assert "InMemoryTableScan" not in plan, (
-            f"{name}: persisted intermediate in the linear plan\n{plan}"
+        df.collect()  # materialise: reuse is an AQE runtime decision
+        plan = final_section(df)
+        assert plan.count("ReusedExchange") >= 2, (
+            f"{name}: heavy exchanges not reused — the pair-mining "
+            f"mid-chain is re-running per sizes branch\n{plan}"
         )
-    fp = QUERIES["fingerprint_overlap"](spark, SF_DIR)
-    fp_plan = fp._jdf.queryExecution().executedPlan().toString()
-    assert fp_plan.count("ArrowEvalPython") == 1, (
-        "winnow UDF emitted more than once:\n" + fp_plan
-    )
+        assert "InMemoryTableScan" not in plan, (
+            f"{name}: persisted intermediate in the pair-mining plan\n{plan}"
+        )
+        assert "SortMergeJoin" not in plan, (
+            f"{name}: sizes join degraded to sort-merge at driver scale\n{plan}"
+        )
+        if name == "fingerprint_overlap":
+            assert plan.count("ArrowEvalPython") == 1, (
+                "winnow UDF emitted more than once:\n" + plan
+            )
 
 
 def test_small_lexicons_are_local_relations(spark):

@@ -21,25 +21,24 @@ from . import udfs
 from .kernel.minhash import NUM_PERM, empty_signature as kmh_empty
 
 
-def _pair_expand_with_sizes(ids_col: str):
-    """All ordered pairs (id1 < id2) from a SORTED array of
-    struct<_id,_n>, expanded map-side with native higher-order functions —
-    the per-row output is bounded by df_cap*(df_cap-1)/2 because every
-    posting list passed in has already been df-cap filtered. Each endpoint
-    carries its per-doc size so the pair aggregate needs no size joins."""
+def _pair_expand_incl_self(ids_col: str):
+    """All ordered pairs (id1 <= id2) from a SORTED id array, expanded
+    map-side with native higher-order functions — the per-row output is
+    bounded by df_cap*(df_cap+1)/2 because every posting list passed in
+    has already been df-cap filtered. The slice starts AT each element,
+    so every id also emits exactly one SELF-pair (id, id) per posting:
+    those sentinel rows aggregate to the per-doc surviving-key count
+    (the jaccard/containment denominator) in the same pair aggregate,
+    and can never collide with a real pair because sortedness makes
+    real pairs strictly id1 < id2."""
     col = F.col(ids_col)
     return F.explode(
         F.flatten(
             F.transform(
                 col,
                 lambda x, i: F.transform(
-                    F.slice(col, i + 2, F.size(col)),
-                    lambda y: F.struct(
-                        x["_id"].alias("id1"),
-                        x["_n"].alias("n1"),
-                        y["_id"].alias("id2"),
-                        y["_n"].alias("n2"),
-                    ),
+                    F.slice(col, i + 1, F.size(col)),
+                    lambda y: F.struct(x.alias("id1"), y.alias("id2")),
                 ),
             )
         )
@@ -55,40 +54,71 @@ def shared_key_pair_sizes(
     one pair row) and ``n1``/``n2`` are the docs' key counts AFTER the
     df-cap filter (numerator and denominator over the same population).
 
-    One fully LINEAR pipeline — each input row is computed exactly once,
-    with no self-referential DAG to persist or re-execute:
+    The expensive chain runs exactly ONCE and the full-size input
+    crosses an exchange exactly ONCE:
 
-      explode -> Ex(key) -> window df -> filter df<=cap -> Ex(id) ->
-      window n -> Ex(key) -> posting lists of struct(id, n) ->
-      map-side pair expansion -> pair aggregate
+      explode -> Ex(key) -> window df -> filter df<=cap -> posting
+      lists (no exchange: the window already hash-partitioned by key)
+      -> map-side pair expansion incl. self-pairs -> Ex(id1,id2) pair
+      aggregate -> pushdown barrier -> split: pairs + tiny per-doc
+      sizes table (the sentinels) -> two AQE-planned broadcast joins
 
     The window-function df-count replaces a count-aggregate + anti-join:
     no broadcast of an over-cap key set (which grows linearly with corpus
-    size), no driver-side size decision, no cached intermediate, and two
-    fewer stages (measured 2.6 s -> 1.6 s on the sf0.1 bench grid, r5).
-    Shuffled rows are (id, key[, n]) — 16-24 bytes — so shuffling the
-    over-cap rows before dropping them costs bytes-linear work. The one
-    scale caveat: a pathologically common key (df approaching the corpus
-    size) concentrates its rows into a single sorted window group — a
+    size), no driver-side size decision, no cached intermediate. Per-doc
+    sizes ride the pair aggregate as self-pair sentinel rows instead of a
+    doc-keyed window over the survivors — that removed two full survivor
+    traversals (an Ex(id)+sort window and a re-Ex(key) for postings) and
+    trades them for two joins against a one-row-per-doc sizes table
+    (measured, quiet windows at sf0.1: jaccard_pairs 2.4 s -> 1.1 s,
+    fingerprint_overlap 1.8 s -> 1.2 s, r5). Shuffled rows are
+    (id, key) / (id1, id2) — 16-24 bytes — so shuffling the over-cap rows
+    before dropping them costs bytes-linear work. The one scale caveat: a
+    pathologically common key (df approaching the corpus size)
+    concentrates its rows into a single sorted window group — a
     spill-safe straggler, not an OOM (the sort spills; the collect_list
     buffer only ever sees df<=cap survivors). Corpus-pipeline runs that
     expect degenerate boilerplate should pre-strip it with
     drop_boilerplate_lines, which partial-aggregates map-side."""
-    surv = (
-        t.withColumn("_kdf", F.count("*").over(Window.partitionBy(key_col)))
-        .where(F.col("_kdf") <= df_cap)
-        .withColumn("_n", F.count("*").over(Window.partitionBy(id_col)))
-    )
+    surv = t.withColumn(
+        "_kdf", F.count("*").over(Window.partitionBy(key_col))
+    ).where(F.col("_kdf") <= df_cap)
     postings = surv.groupBy(key_col).agg(
-        F.sort_array(
-            F.collect_list(F.struct(F.col(id_col).alias("_id"), F.col("_n")))
-        ).alias("_ids")
+        F.sort_array(F.collect_list(id_col)).alias("_ids")
+    )
+    agg = (
+        postings.select(_pair_expand_incl_self("_ids").alias("_p"))
+        .select("_p.id1", "_p.id2")
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("shared"))
+        # pushdown BARRIER: explode(array(struct(...))) makes every
+        # column generator-produced, so the branch filters below cannot
+        # be pushed beneath this point. Without it Catalyst pushes
+        # id1=id2 / id1!=id2 below the shared pair aggregate, the two
+        # exchange subtrees stop being canonically equal, and AQE
+        # re-runs the window+expand mid-chain once per branch (measured
+        # +6 s of stage runtime and 2x JVM CPU at sf0.1, r5). With the
+        # barrier both heavy exchanges are materialised once and reused
+        # (ReusedExchange x2, pinned by
+        # test_plan_audit.test_pair_mining_single_emission).
+        .select(F.explode(F.array(F.struct("id1", "id2", "shared"))).alias("_r"))
+        .select("_r.*")
+    )
+    # read the sentinels back: n(doc) = count of its self-pair rows =
+    # the doc's surviving-key count. The sizes table has ONE ROW PER
+    # SURVIVING DOC (pair rows are quadratic in df_cap; at the sf0.1
+    # grid the pair table is 1.1M rows vs 5k sentinels), so AQE picks a
+    # broadcast join at any realistic scale and degrades to a shuffled
+    # hash join — never an OOM — when the corpus outgrows the driver (no
+    # forced hint).
+    sizes = agg.where(F.col("id1") == F.col("id2")).select(
+        F.col("id1").alias("_szid"), F.col("shared").alias("_n")
     )
     return (
-        postings.select(_pair_expand_with_sizes("_ids").alias("_p"))
-        .select("_p.id1", "_p.id2", "_p.n1", "_p.n2")
-        .groupBy("id1", "id2", "n1", "n2")
-        .agg(F.count("*").alias("shared"))
+        agg.where(F.col("id1") != F.col("id2"))
+        .join(sizes.select(F.col("_szid").alias("id1"), F.col("_n").alias("n1")), "id1")
+        .join(sizes.select(F.col("_szid").alias("id2"), F.col("_n").alias("n2")), "id2")
+        .select("id1", "id2", "shared", "n1", "n2")
     )
 
 
@@ -234,9 +264,9 @@ def fingerprint_overlap_pairs(
     # and denominator count the same fingerprint population (the
     # jaccard_pairs convention; sizing before the filter underestimated
     # containment for boilerplate-heavy docs, ADVICE r2) — and ride the
-    # posting lists as struct fields (shared_key_pair_sizes), so the
-    # winnow UDF runs exactly once in a linear plan with no persist,
-    # driver-side action, size join or broadcast.
+    # pair aggregate as self-pair sentinels (shared_key_pair_sizes), so
+    # the winnow UDF runs exactly once with no persist, driver-side
+    # action, or forced broadcast.
     exploded = df.select(
         F.col(id_col).alias("_id"), winnow(F.col(text_col)).alias("_fps")
     ).select("_id", F.explode("_fps").alias("fp"))
