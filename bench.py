@@ -184,20 +184,24 @@ def main() -> None:
         t0 = time.monotonic()
         qdf = fn(spark, SF_DIR)
         query_build[name] = round(time.monotonic() - t0, 3)
-        s0 = steal()
-        t0 = time.monotonic()
-        qdf.write.format("noop").mode("overwrite").save()
-        t1 = time.monotonic() - t0
-        st = steal() - s0
-        if t1 < 60.0:
-            # best-of-2: excludes one-time codegen compile AND the host's
-            # intermittent CPU-steal throttling (observed on this VM)
+        # best-of-2, extended to best-of-4 while the best run still saw
+        # steal: excludes one-time codegen compile AND the host's
+        # intermittent CPU-steal storms (same policy as the headline —
+        # a wall measured under hypervisor throttling measures the host,
+        # not the code; try5 recorded jaccard at 6.6 s mid-storm vs
+        # 1.6 s isolated minutes later)
+        t1, st = 1e9, -1
+        runs = 0
+        while runs < 2 or (st > 300 and runs < 4 and t1 < 60.0):
             s0 = steal()
             t0 = time.monotonic()
             qdf.write.format("noop").mode("overwrite").save()
-            t2 = time.monotonic() - t0
-            if t2 < t1:
-                t1, st = t2, steal() - s0
+            t = time.monotonic() - t0
+            if t < t1:
+                t1, st = t, steal() - s0
+            runs += 1
+            if t1 >= 60.0:
+                break
         timings[name] = round(t1, 3)
         query_steal[name] = st
         # pair-mining queries persist fan-out tables per call; keep the
