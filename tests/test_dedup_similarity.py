@@ -200,6 +200,49 @@ def test_shared_key_pair_sizes_df_cap(spark):
     }
 
 
+def test_shared_key_pair_sizes_random_vs_bruteforce(spark):
+    """Property check of the pair-mining core against a brute-force
+    Python oracle on seeded random (doc, key) tables — guards the
+    sentinel/self-pair encoding and the pushdown barrier (a broken
+    barrier or sentinel collision silently corrupts shared/n1/n2).
+    Covers: over-cap keys, docs whose every key is over-cap
+    (sentinel-only docs), singleton docs, and df exactly at the cap."""
+    import random
+
+    for seed, n_docs, n_keys, cap in ((7, 18, 9, 3), (23, 30, 5, 4)):
+        rng = random.Random(seed)
+        table = set()
+        for d in range(n_docs):
+            for k in rng.sample(range(n_keys), rng.randint(0, n_keys - 1)):
+                table.add((d, f"k{k}"))
+        rows = sorted(table)
+        # brute force: drop over-cap keys, per-doc sets, pairwise counts
+        from collections import Counter, defaultdict
+
+        df_count = Counter(k for _, k in rows)
+        keys_of = defaultdict(set)
+        for d, k in rows:
+            if df_count[k] <= cap:
+                keys_of[d].add(k)
+        expected = {}
+        docs = sorted(keys_of)
+        for i, d1 in enumerate(docs):
+            for d2 in docs[i + 1 :]:
+                shared = len(keys_of[d1] & keys_of[d2])
+                if shared:
+                    expected[(d1, d2)] = (
+                        shared, len(keys_of[d1]), len(keys_of[d2])
+                    )
+        t = spark.createDataFrame(rows, "doc_id long, key string")
+        got = {
+            (r["id1"], r["id2"]): (r["shared"], r["n1"], r["n2"])
+            for r in dedup.shared_key_pair_sizes(
+                t, "key", "doc_id", df_cap=cap
+            ).collect()
+        }
+        assert got == expected, f"seed={seed} cap={cap}"
+
+
 def test_drop_boilerplate_lines(spark):
     """Corpus-level boilerplate line removal: a header repeated across >
     max_df docs is dropped from every doc, unique lines and blank-line
