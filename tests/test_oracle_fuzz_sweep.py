@@ -126,7 +126,7 @@ SWEEP = [
     "langid", "lang_histogram", "scrub", "keep_drop", "drop_histogram",
     "exact_dedup", "word_counts", "lead_sentences", "sentiment",
     "sentiment_multilang", "unigram_ppl", "jaccard_pairs", "decontaminate",
-    "quality_score",
+    "decontaminate_wide", "quality_score",
     "lineage_metrics", "emoji_counts", "word_counts_doc", "entities",
     "langid_hinted", "raw", "multimodal_resize", "multimodal_frames",
     "multimodal_features", "repetition_signals", "gopher_quality",

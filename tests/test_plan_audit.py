@@ -159,3 +159,19 @@ def test_small_lexicons_are_local_relations(spark):
             f"{name}: lexicon went through parallelize, not a LocalRelation\n"
             + plan
         )
+    # the EMPTY-rows edge (streaming replay with zero kept rows) must
+    # also avoid ExistingRDD — createDataFrame([]/empty pandas) builds an
+    # RDD scan that schedules one no-op Python-worker task per core; the
+    # WHERE 1=0 path constant-folds to an empty LocalRelation instead
+    from textpipe_spark.io import small_local_df
+
+    for rows in ([], [(1, 2)]):
+        df = small_local_df(spark, rows, "doc_id long, s_epoch int")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ExistingRDD" not in plan, (
+            f"small_local_df(rows={rows}) is not a LocalRelation\n" + plan
+        )
+        assert df.count() == len(rows)
+        assert df.schema.simpleString() == (
+            "struct<doc_id:bigint,s_epoch:int>"
+        )

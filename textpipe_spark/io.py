@@ -139,7 +139,13 @@ def apply_runtime_tuning(spark: SparkSession) -> None:
     built themselves, so build-time ``spark_session`` configs would never
     reach the plans being graded. Only confs Spark allows to change at
     runtime belong here."""
-    spark.conf.set("spark.sql.optimizer.excludedRules", _EXCLUDED_OPTIMIZER_RULES)
+    # MERGE with any caller-set exclusions (the driver harness and tests
+    # hand us sessions they configured themselves) instead of clobbering
+    existing = spark.conf.get("spark.sql.optimizer.excludedRules", None) or ""
+    rules = [r.strip() for r in existing.split(",") if r.strip()]
+    if _EXCLUDED_OPTIMIZER_RULES not in rules:
+        rules.append(_EXCLUDED_OPTIMIZER_RULES)
+    spark.conf.set("spark.sql.optimizer.excludedRules", ",".join(rules))
     # small_local_df depends on the Arrow conversion path; runtime-settable
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     # AQE coalescing collapses the pair-mining queries' post-df-cap
@@ -160,11 +166,22 @@ def small_local_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
     Python worker per slice — measured ~7 CPU-s of worker start-up and
     ~0.5 s wall per call at local[32] (r5, /tmp lexicon experiment). The
     pandas+Arrow path converts driver-side into a LocalRelation: zero
-    Python workers, zero jobs, ~0.1 s. ``schema`` is a simple DDL string
-    ("name type, ..."); column names are taken from it so callers pass
-    plain tuples exactly as they did with createDataFrame."""
+    Python workers, zero jobs, ~0.1 s. ``schema`` is a DDL string
+    ("name type, ..."), parsed with StructType.fromDDL so parameterized
+    and nested types work; column names are taken from it so callers
+    pass plain tuples exactly as they did with createDataFrame. An EMPTY
+    rows list goes through a constant-folded ``WHERE 1=0`` projection —
+    `createDataFrame([]/empty pandas)` still builds an ExistingRDD scan
+    that schedules one no-op Python-worker task per core."""
     import pandas as pd
+    from pyspark.sql.types import StructType
 
     apply_runtime_tuning(spark)
-    cols = [f.strip().split()[0] for f in schema.split(",")]
-    return spark.createDataFrame(pd.DataFrame(rows, columns=cols), schema)
+    st = StructType.fromDDL(schema)
+    if not rows:
+        cols = ", ".join(
+            f"CAST(NULL AS {f.dataType.simpleString()}) AS `{f.name}`"
+            for f in st.fields
+        )
+        return spark.sql(f"SELECT {cols} WHERE 1=0")
+    return spark.createDataFrame(pd.DataFrame(rows, columns=st.fieldNames()), st)

@@ -1,0 +1,71 @@
+"""Shared host-measurement helpers for the tools/ probes.
+
+One home for the /proc/stat steal reader, the spin calibration, and the
+per-process CPU accounting, so a fix to the measurement policy lands in
+one place. bench.py deliberately keeps its own inline copies: it is the
+driver-run artifact and must work standalone even if tools/ is absent
+or the repo layout changes (driver contract robustness).
+
+Note bench_scaling.py's CHILD template also inlines steal() — that copy
+runs inside a subprocess built from a string and cannot import this
+module before sys.path is set; it stays inline by design.
+"""
+
+from __future__ import annotations
+
+import glob
+import time
+
+
+def steal() -> int:
+    """Hypervisor steal jiffies (field 9 of /proc/stat's cpu line).
+    100 jiffies = 1 stolen CPU-second; a delta near zero around a timed
+    run certifies a quiet window."""
+    with open("/proc/stat") as fh:
+        return int(fh.readline().split()[8])
+
+
+def spin(window_s: float = 0.2) -> int:
+    """Single-thread spin rate (loop iterations in a fixed window). The
+    host throttles in ways steal does NOT always show; a depressed
+    calibration flags a throttled measurement."""
+    end = time.monotonic() + window_s
+    n = 0
+    while time.monotonic() < end:
+        n += 1
+    return n
+
+
+def jvm_cpu_jiffies() -> int:
+    """utime+stime over every 'java' process — steal-immune cost
+    evidence (stolen time is time NOT running)."""
+    total = 0
+    for stat in glob.glob("/proc/[0-9]*/stat"):
+        try:
+            with open(stat) as fh:
+                parts = fh.read().rsplit(") ", 1)
+                comm = parts[0].split("(", 1)[1]
+                if comm != "java":
+                    continue
+                f = parts[1].split()
+                total += int(f[11]) + int(f[12])
+        except OSError:
+            continue
+    return total
+
+
+def py_worker_cpu_jiffies() -> int:
+    """utime+stime over pyspark daemon/worker processes."""
+    total = 0
+    for pid_dir in glob.glob("/proc/[0-9]*"):
+        try:
+            with open(pid_dir + "/cmdline", "rb") as fh:
+                cmd = fh.read().replace(b"\x00", b" ")
+            if b"pyspark.daemon" not in cmd and b"pyspark.worker" not in cmd:
+                continue
+            with open(pid_dir + "/stat") as fh:
+                f = fh.read().rsplit(") ", 1)[1].split()
+            total += int(f[11]) + int(f[12])
+        except OSError:
+            continue
+    return total

@@ -13,7 +13,6 @@ jiffies for context.
 
 from __future__ import annotations
 
-import glob
 import json
 import os
 import sys
@@ -21,53 +20,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tools._measure import jvm_cpu_jiffies, py_worker_cpu_jiffies, steal  # noqa: E402 (path insert above)
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 RUNS = int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "3"))
 
 DEFAULT = ["fingerprint_overlap", "jaccard_pairs"]
-
-
-def steal() -> int:
-    with open("/proc/stat") as fh:
-        return int(fh.readline().split()[8])
-
-
-def jvm_cpu_jiffies() -> int:
-    """utime+stime over every 'java' process (the one local JVM plus any
-    python workers' parents are not java; Arrow workers are python and
-    excluded deliberately — they are measured separately if needed)."""
-    total = 0
-    for stat in glob.glob("/proc/[0-9]*/stat"):
-        try:
-            with open(stat) as fh:
-                parts = fh.read().rsplit(") ", 1)
-                comm = parts[0].split("(", 1)[1]
-                if comm != "java":
-                    continue
-                f = parts[1].split()
-                total += int(f[11]) + int(f[12])  # utime, stime
-        except OSError:
-            continue
-    return total
-
-
-def py_worker_cpu_jiffies() -> int:
-    """utime+stime over pyspark daemon/worker python processes (cmdline
-    contains pyspark.daemon or pyspark.worker)."""
-    total = 0
-    for pid_dir in glob.glob("/proc/[0-9]*"):
-        try:
-            with open(os.path.join(pid_dir, "cmdline"), "rb") as fh:
-                cmd = fh.read().replace(b"\x00", b" ")
-            if b"pyspark.daemon" not in cmd and b"pyspark.worker" not in cmd:
-                continue
-            with open(os.path.join(pid_dir, "stat")) as fh:
-                f = fh.read().rsplit(") ", 1)[1].split()
-            total += int(f[11]) + int(f[12])
-        except OSError:
-            continue
-    return total
 
 
 def main() -> None:

@@ -17,6 +17,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tools._measure import spin, steal  # noqa: E402 (path insert above)
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 RUNS = int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "4"))
@@ -27,19 +29,6 @@ DEFAULT = [
     "ann_topk", "doc_vector_stats", "event_window_metrics",
     "minhash_lsh_pairs",
 ]
-
-
-def steal() -> int:
-    with open("/proc/stat") as fh:
-        return int(fh.readline().split()[8])
-
-
-def spin() -> int:
-    end = time.monotonic() + 0.2
-    n = 0
-    while time.monotonic() < end:
-        n += 1
-    return n
 
 
 def main() -> None:
