@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CORPUS_FILES = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", "40000"))
-CORPUS_VERSION = 3  # bump when tests/make_corpus.py content mix changes
+CORPUS_VERSION = 4  # bump when tests/make_corpus.py content mix OR layout changes
 CORPUS_DIR = os.path.join(
     os.path.dirname(os.path.abspath(__file__)),
     f".bench_corpus/v{CORPUS_VERSION}_n{CORPUS_FILES}",

@@ -141,7 +141,7 @@ def main() -> None:
 Flagship keep/drop + scrub pipeline (full labeled manifest: clean -> langid
 -> token stats -> scrub -> keep/drop + sha256) over the deterministic
 synthetic code_files corpus ({n_rows} files, seed=42, 16 partitions,
-256-row parquet row groups), best of {repeats} timed runs after a warm-up
+128-row parquet row groups), best of {repeats} timed runs after a warm-up
 pass, separate JVM per parallelism level, levels interleaved across trials.
 Each wall carries the /proc/stat CPU-steal delta measured during that run
 (100 jiffies = 1 stolen CPU-second); a best-run steal near zero certifies
