@@ -184,12 +184,15 @@ def main() -> None:
         t0 = time.monotonic()
         qdf = fn(spark, SF_DIR)
         query_build[name] = round(time.monotonic() - t0, 3)
-        # best-of-2, extended to best-of-4 while the best run still saw
-        # steal: excludes one-time codegen compile AND the host's
-        # intermittent CPU-steal storms (same policy as the headline —
-        # a wall measured under hypervisor throttling measures the host,
-        # not the code; try5 recorded jaccard at 6.6 s mid-storm vs
-        # 1.6 s isolated minutes later)
+        # one untimed warm run (codegen compile + first JIT pass —
+        # measured r5: jaccard's converged wall is ~1.0 s but its
+        # second-ever run is still ~1.6 s; the headline warms twice for
+        # the same reason), then best-of-2 timed, extended to best-of-4
+        # while the best run still saw steal: a wall measured under
+        # hypervisor throttling measures the host, not the code (try5
+        # recorded jaccard at 6.6 s mid-storm vs 1.6 s isolated minutes
+        # later)
+        qdf.write.format("noop").mode("overwrite").save()
         t1, st = 1e9, -1
         runs = 0
         while runs < 2 or (st > 300 and runs < 4 and t1 < 60.0):
