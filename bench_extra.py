@@ -1,0 +1,98 @@
+"""Round-6 measurement harness (guide §1.4 noop-sink isolation).
+
+NOT the driver bench — bench.py is frozen for measurement. This file
+exists so optimization work can time individual queries at any SF with
+the same methodology (untimed plan build, one untimed warm run, best-of-N
+with steal attribution) and capture .explain("formatted") for
+plans/r06/<query>_{before,after}.txt.
+
+Usage:
+    python bench_extra.py [query ...]            # time queries (default: heavy set)
+    python bench_extra.py --explain <q> <tag>    # write plans/r06/<q>_<tag>.txt
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf1.0 python bench_extra.py jaccard_pairs
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf1.0")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+RUNS = int(os.environ.get("BENCH_EXTRA_RUNS", "3"))
+
+HEAVY = [
+    "jaccard_pairs",
+    "fingerprint_overlap",
+    "unigram_ppl",
+    "token_stats",
+    "simhash_dedup",
+    "embedding_near_dup",
+    "minhash_lsh_pairs",
+    "flagship_model",
+    "emojis_annotated",
+    "decontaminate",
+    "decontaminate_wide",
+    "flagship",
+]
+
+
+def steal() -> int:
+    with open("/proc/stat") as fh:
+        return int(fh.readline().split()[8])
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    from textpipe_spark.io import spark_session
+    from textpipe_spark.queries import QUERIES
+
+    spark = spark_session(app="bench_extra", cores=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(256 * 1024))
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+
+    if args and args[0] == "--explain":
+        name, tag = args[1], args[2]
+        qdf = QUERIES[name](spark, SF_DIR)
+        out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plans", "r06")
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, f"{name}_{tag}.txt")
+        with open(path, "w") as fh:
+            fh.write(qdf._sc._jvm.PythonSQLUtils.explainString(
+                qdf._jdf.queryExecution(), "formatted"))
+        print(f"wrote {path}")
+        spark.stop()
+        return
+
+    names = args or HEAVY
+    # warm JVM/Python workers once
+    QUERIES["token_stats"](spark, SF_DIR).count()
+    results = {}
+    for name in names:
+        spark.sparkContext.setJobDescription(f"bench_extra: {name}")
+        qdf = QUERIES[name](spark, SF_DIR)
+        qdf.write.format("noop").mode("overwrite").save()  # warm
+        best, best_steal, samples = 1e9, -1, []
+        for _ in range(RUNS):
+            s0 = steal()
+            t0 = time.monotonic()
+            qdf.write.format("noop").mode("overwrite").save()
+            w = time.monotonic() - t0
+            samples.append(round(w, 3))
+            if w < best:
+                best, best_steal = w, steal() - s0
+        results[name] = {"best": round(best, 3), "steal": best_steal,
+                         "samples": samples}
+        print(json.dumps({name: results[name]}), flush=True)
+        spark.catalog.clearCache()
+    print(json.dumps({"sf_dir": SF_DIR, "results": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -243,6 +243,71 @@ def test_shared_key_pair_sizes_random_vs_bruteforce(spark):
         assert got == expected, f"seed={seed} cap={cap}"
 
 
+def test_jaccard_threshold_pairs_random_vs_bruteforce(spark):
+    """Property check of the prefix-filtered set-similarity join (r6
+    jaccard rewrite) against a brute-force Python oracle on seeded
+    random (doc, key) tables. The operator contract: every pair whose
+    Jaccard over df-capped key sets reaches the threshold MUST be
+    emitted, and shared/n1/n2 are EXACT on every emitted row (rows
+    below the threshold may appear — the caller filters). Covers
+    over-cap keys, sub-prefix-length singleton docs, identical docs
+    (J=1), and df exactly at the cap."""
+    import random
+    from collections import Counter, defaultdict
+
+    for seed, n_docs, n_keys, cap, thr in (
+        (7, 18, 9, 3, 0.4999),
+        (23, 30, 5, 4, 0.4999),
+        (41, 24, 12, 5, 0.3),
+        (77, 16, 10, 100, 0.7),
+    ):
+        rng = random.Random(seed)
+        table = set()
+        for d in range(n_docs):
+            for k in rng.sample(range(n_keys), rng.randint(0, n_keys - 1)):
+                table.add((d, f"k{k}"))
+        # a guaranteed J=1 pair: two docs with identical rare key sets
+        table.add((n_docs, f"k{n_keys}"))
+        table.add((n_docs, f"k{n_keys + 1}"))
+        table.add((n_docs + 1, f"k{n_keys}"))
+        table.add((n_docs + 1, f"k{n_keys + 1}"))
+        rows = sorted(table)
+        df_count = Counter(k for _, k in rows)
+        keys_of = defaultdict(set)
+        for d, k in rows:
+            if df_count[k] <= cap:
+                keys_of[d].add(k)
+        expected = {}  # every pair above thr, with exact values
+        exact = {}  # exact values for ANY pair (emitted rows must match)
+        docs = sorted(keys_of)
+        for i, d1 in enumerate(docs):
+            for d2 in docs[i + 1 :]:
+                s = len(keys_of[d1] & keys_of[d2])
+                if not s:
+                    continue
+                n1, n2 = len(keys_of[d1]), len(keys_of[d2])
+                exact[(d1, d2)] = (s, n1, n2)
+                if s / (n1 + n2 - s) >= thr:
+                    expected[(d1, d2)] = (s, n1, n2)
+        t = spark.createDataFrame(rows, "doc_id long, key string")
+        got = {
+            (r["id1"], r["id2"]): (r["shared"], r["n1"], r["n2"])
+            for r in dedup.jaccard_threshold_pairs(
+                t, "key", "doc_id", df_cap=cap, threshold=thr
+            ).collect()
+        }
+        for pair, vals in expected.items():
+            assert got.get(pair) == vals, (
+                f"seed={seed} cap={cap} thr={thr}: qualifying pair "
+                f"{pair} missing or wrong: {got.get(pair)} != {vals}"
+            )
+        for pair, vals in got.items():
+            assert exact[pair] == vals, (
+                f"seed={seed} cap={cap} thr={thr}: emitted pair {pair} "
+                f"has inexact values {vals} != {exact[pair]}"
+            )
+
+
 def test_drop_boilerplate_lines(spark):
     """Corpus-level boilerplate line removal: a header repeated across >
     max_df docs is dropped from every doc, unique lines and blank-line

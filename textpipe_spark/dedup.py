@@ -122,6 +122,188 @@ def shared_key_pair_sizes(
     )
 
 
+def jaccard_threshold_pairs(
+    t: DataFrame, key_col: str, id_col: str, df_cap: int, threshold: float
+) -> DataFrame:
+    """(id1, id2, shared, n1, n2) — COMPLETE for every pair whose Jaccard
+    over the df-capped key sets is >= ``threshold``; pairs below the
+    threshold may or may not appear (the caller applies its exact final
+    filter). ``shared``/``n1``/``n2`` are exact for every emitted row, so
+    any downstream filter at or above ``threshold`` yields exactly the
+    same rows as the exhaustive ``shared_key_pair_sizes`` formulation.
+
+    This is the prefix-filtered set-similarity self-join (AllPairs,
+    Bayardo et al. WWW'07; the positional/length filters of PPJoin, Xiao
+    et al. WWW'08; MapReduce shape per Vernica et al. SIGMOD'10). The
+    exhaustive pair expansion is quadratic in each key's document frequency:
+    at the r5 bench corpus scaled 10x it exploded 73M pair rows into a
+    67M-distinct-key hash aggregate for 2,544 final rows (measured r6,
+    sf1.0 — jaccard_pairs 14.9 s driver wall). Prefix filtering exploits
+    what the optimizer cannot know: a pair reaching Jaccard t must share
+    a key among the (1-t)-fraction RAREST keys of each doc (sorted by a
+    global total order), so the self-join runs over ~half the postings
+    and the intersection is verified exactly, per candidate, with a
+    native array_intersect — no quadratic aggregate anywhere.
+
+    Completeness argument (why no qualifying pair is lost): order keys by
+    (df, key) — any total order works. Let s = |x ∩ y|. J(x,y) >= t
+    implies s >= t*max(|x|,|y|), hence s >= ceil(t*|x|). The SMALLEST
+    shared key w sits at position p_x in x with all s shared keys at
+    positions >= p_x, so p_x <= |x| - s + 1 <= |x| - ceil(t*|x|) + 1 =
+    prefix_len(x); same for y — w is inside BOTH prefixes, so the
+    self-join on prefix keys finds the pair. The length filter
+    (min >= t*max) and positional filter (1 + min remaining >=
+    t/(1+t)*(|x|+|y|), the overlap lower bound) discard only pairs that
+    provably cannot reach t. Verification is exact: arrays are per-doc
+    DISTINCT keys (caller contract, same as shared_key_pair_sizes), so
+    size(array_intersect) IS the intersection size.
+
+    Scale shape: window df-cap (one Exchange(key)) -> per-doc sorted
+    arrays (one Exchange(id)) -> prefix posting self-join on xxhash64
+    keys (Exchange reused across both sides) -> candidate dedup -> two
+    equi-joins against the HASHED arrays table + threshold pre-filter ->
+    two equi-joins of the tiny survivor set against the string arrays
+    for the exact counts (AQE broadcasts the arrays side while it fits,
+    degrades to a shuffled join when the corpus outgrows the driver).
+    Every shuffle is a hash exchange; the per-doc array crosses a
+    shuffle as one row per doc, never replicated per posting. The
+    skewed-key caveat of shared_key_pair_sizes applies to the window
+    here identically."""
+    surv = t.withColumn(
+        "_kdf", F.count("*").over(Window.partitionBy(key_col))
+    ).where(F.col("_kdf") <= df_cap)
+    # per-doc keys sorted by the global (df, key) order — rarest first,
+    # which minimises prefix-index collisions (the order itself is
+    # internal: completeness holds for any total order)
+    arrays = (
+        surv.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("_kdf").alias("_d"), F.col(key_col).alias("_k"))
+                )
+            ).alias("_sk")
+        )
+        .select(
+            F.col(id_col).alias("_aid"),
+            F.transform(F.col("_sk"), lambda s: s["_k"]).alias("_arr"),
+            F.size(F.col("_sk")).alias("_n"),
+        )
+    )
+    # prefix postings: position is 0-based within the doc's sorted array.
+    # The join key is xxhash64 of the key string — generation tolerates
+    # hash collisions (a collision only MERGES posting groups, adding
+    # candidates: completeness is preserved, false candidates die in
+    # verification), and an 8-byte long joins/shuffles far cheaper than
+    # a ~30-byte shingle string.
+    plen = (F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1).cast("int")
+    pref = arrays.select(
+        F.col("_aid"),
+        F.col("_n"),
+        F.posexplode(F.slice(F.col("_arr"), F.lit(1), plen)).alias("_p", "_tok"),
+    ).select("_aid", "_n", "_p", F.xxhash64(F.col("_tok")).alias("_h"))
+    a = pref.select(
+        F.col("_aid").alias("id1"), F.col("_n").alias("_an"),
+        F.col("_p").alias("_ap"), "_h",
+    )
+    b = pref.select(
+        F.col("_aid").alias("id2"), F.col("_n").alias("_bn"),
+        F.col("_p").alias("_bp"), F.col("_h").alias("_h2"),
+    )
+    lo = F.lit(float(threshold))
+    # overlap lower bound t/(1+t)*(n1+n2), compared WITHOUT ceil — the
+    # real bound is the ceiling, so this is (safely) conservative
+    alpha = lo / (1 + lo) * (F.col("_an") + F.col("_bn"))
+    # positions are 0-based: the matched key plus everything after it in
+    # both docs bounds the overlap by 1 + min(n - p - 1) on each side
+    cand = (
+        a.join(
+            b,
+            (F.col("_h") == F.col("_h2"))
+            & (F.col("id1") < F.col("id2"))
+            & (F.col("_bn") >= lo * F.col("_an"))
+            & (F.col("_an") >= lo * F.col("_bn"))
+            & (
+                1
+                + F.least(
+                    F.col("_an") - F.col("_ap") - 1,
+                    F.col("_bn") - F.col("_bp") - 1,
+                )
+                >= alpha
+            ),
+        )
+        .select("id1", "id2")
+        .dropDuplicates(["id1", "id2"])
+    )
+    # Two-tier verification (the candidate set is ~4000x the result set
+    # at the r6 bench corpus, so verify cost dominates; measured 114 of
+    # 166 JVM CPU-s when done directly on string arrays):
+    #   tier 1 — intersect 8-byte HASHED arrays for every candidate.
+    #     size(array_intersect(h1, h2)) >= |x ∩ y| always (a collision
+    #     can only merge distinct values, never split equal ones), and
+    #     jaccard s/(n1+n2-s) is monotone in s, so thresholding the
+    #     hashed count at the same conservative `threshold` loses NO
+    #     qualifying pair — it only lets the odd collision through.
+    #   tier 2 — re-intersect the tiny survivor set on the original
+    #     string arrays: `shared` in the returned rows is EXACT.
+    harr = arrays.select(
+        "_aid",
+        F.transform(F.col("_arr"), lambda t: F.xxhash64(t)).alias("_ha"),
+        "_n",
+    )
+    rough = (
+        cand.join(
+            harr.select(
+                F.col("_aid").alias("id1"), F.col("_ha").alias("_ha1"),
+                F.col("_n").alias("n1"),
+            ),
+            "id1",
+        )
+        .join(
+            harr.select(
+                F.col("_aid").alias("id2"), F.col("_ha").alias("_ha2"),
+                F.col("_n").alias("n2"),
+            ),
+            "id2",
+        )
+        .select(
+            "id1", "id2", "n1", "n2",
+            F.size(F.array_intersect(F.col("_ha1"), F.col("_ha2"))).alias("_sh"),
+        )
+        # s/(n1+n2-s) >= t  <=>  s*(1+t) >= t*(n1+n2); multiply-only form
+        # keeps the filter branch-free and the 5e-5 threshold margin
+        # dwarfs double rounding
+        .where(
+            F.col("_sh").cast("double") * (1 + lo)
+            >= lo * (F.col("n1") + F.col("n2")).cast("double")
+        )
+        .select("id1", "id2", "n1", "n2")
+    )
+    return (
+        rough.join(
+            arrays.select(
+                F.col("_aid").alias("id1"), F.col("_arr").alias("_arr1")
+            ),
+            "id1",
+        )
+        .join(
+            arrays.select(
+                F.col("_aid").alias("id2"), F.col("_arr").alias("_arr2")
+            ),
+            "id2",
+        )
+        .select(
+            "id1",
+            "id2",
+            F.size(F.array_intersect(F.col("_arr1"), F.col("_arr2"))).alias(
+                "shared"
+            ),
+            "n1",
+            "n2",
+        )
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep-first exact dedup by content hash (one shuffle on the sha)."""
     sha = F.sha2(F.col(text_col), 256).alias("_sha")

@@ -632,21 +632,35 @@ def _shingle_tokens(d):
     )
 
 
+    # Prefix-filter generation threshold: the final filter keeps
+# round(jaccard, 4) >= 0.5, which HALF_UP admits true Jaccard down to
+# ~0.49995 — generate candidates at 0.4999 so the 5e-5 margin dwarfs any
+# double noise in the filter arithmetic (the filters only PRUNE; shared/
+# n1/n2 are exact for every emitted pair, so a conservative threshold
+# costs candidates, never correctness).
+JACCARD_PREFIX_T = 0.4999
+
+
 def q_jaccard_pairs(spark, sf_dir, df_cap: int = JACCARD_DF_CAP):
-    from .dedup import shared_key_pair_sizes
+    from .dedup import jaccard_threshold_pairs
 
     d = _docs(spark, sf_dir)
-    # shingles are array_distinct per doc (functions/text.py), so the
-    # posting-list pair count equals the shingle-intersection size. The
-    # window-df pipeline (shared_key_pair_sizes) runs the clean chain
-    # + tokenisation + shingling exactly once (AQE exchange reuse,
-    # pinned by test_pair_mining_single_emission) and reads per-doc
-    # sizes back from self-pair sentinel rows via two AQE-planned
-    # broadcast joins — no persisted shingle table, driver-side count,
-    # or over-cap broadcast decision (r4's forced F.broadcast of the
-    # corpus-growing stop-shingle set is gone with the anti-join
-    # itself, VERDICT r4 "What's wrong #2").
-    pairs = shared_key_pair_sizes(_shingle_tokens(d), "token", "doc_id", df_cap)
+    # shingles are array_distinct per doc (functions/text.py), so
+    # size(array_intersect) equals the shingle-intersection size. r6:
+    # the exhaustive pair expansion (shared_key_pair_sizes) exploded
+    # Σ min(df,cap)² pair rows into a hash aggregate — 73M rows / 67M
+    # distinct pairs for 2,544 final rows at sf1.0 (14.9 s driver wall)
+    # because this corpus' shingle df concentrates just under the cap.
+    # jaccard_threshold_pairs generates candidates from rare-first
+    # PREFIX postings with length+positional pruning (11M candidates at
+    # sf1.0) and verifies each exactly with a native array_intersect;
+    # output above the 0.5 filter is provably identical (dedup.py
+    # completeness argument; oracle-verified at sf0.001/0.01/0.1/1.0).
+    # The clean chain + tokenisation + shingling still run exactly once
+    # (AQE exchange reuse, pinned by test_pair_mining_single_emission).
+    pairs = jaccard_threshold_pairs(
+        _shingle_tokens(d), "token", "doc_id", df_cap, JACCARD_PREFIX_T
+    )
     out = (
         pairs.withColumn(
             "jaccard",
