@@ -174,7 +174,9 @@ def jaccard_threshold_pairs(
     ).where(F.col("_kdf") <= df_cap)
     # per-doc keys sorted by the global (df, key) order — rarest first,
     # which minimises prefix-index collisions (the order itself is
-    # internal: completeness holds for any total order)
+    # internal: completeness holds for any total order). The hashed twin
+    # _ha is an order-preserving projection of _arr, computed HERE so
+    # every downstream consumer reads it ready-made.
     arrays = (
         surv.groupBy(id_col)
         .agg(
@@ -187,11 +189,22 @@ def jaccard_threshold_pairs(
         .select(
             F.col(id_col).alias("_aid"),
             F.transform(F.col("_sk"), lambda s: s["_k"]).alias("_arr"),
+            F.transform(
+                F.col("_sk"), lambda s: F.xxhash64(s["_k"])
+            ).alias("_ha"),
             F.size(F.col("_sk")).alias("_n"),
         )
+        # materialisation point: the finished per-doc arrays cross this
+        # one hash exchange and every consumer below (both prefix-join
+        # sides, the hashed verify, the exact re-verify) reads it back
+        # via AQE ReusedExchange. Without it each consumer re-runs the
+        # final collect_list merge + sort above the groupBy's exchange —
+        # measured r6 at sf1.0: the re-runs were ~40 of 89 JVM CPU-s,
+        # vs ~1 CPU-s to shuffle the 50k finished rows once.
+        .repartition(F.col("_aid"))
     )
     # prefix postings: position is 0-based within the doc's sorted array.
-    # The join key is xxhash64 of the key string — generation tolerates
+    # The join key is the precomputed xxhash64 — generation tolerates
     # hash collisions (a collision only MERGES posting groups, adding
     # candidates: completeness is preserved, false candidates die in
     # verification), and an 8-byte long joins/shuffles far cheaper than
@@ -200,8 +213,8 @@ def jaccard_threshold_pairs(
     pref = arrays.select(
         F.col("_aid"),
         F.col("_n"),
-        F.posexplode(F.slice(F.col("_arr"), F.lit(1), plen)).alias("_p", "_tok"),
-    ).select("_aid", "_n", "_p", F.xxhash64(F.col("_tok")).alias("_h"))
+        F.posexplode(F.slice(F.col("_ha"), F.lit(1), plen)).alias("_p", "_h"),
+    )
     a = pref.select(
         F.col("_aid").alias("id1"), F.col("_n").alias("_an"),
         F.col("_p").alias("_ap"), "_h",
@@ -246,11 +259,7 @@ def jaccard_threshold_pairs(
     #     qualifying pair — it only lets the odd collision through.
     #   tier 2 — re-intersect the tiny survivor set on the original
     #     string arrays: `shared` in the returned rows is EXACT.
-    harr = arrays.select(
-        "_aid",
-        F.transform(F.col("_arr"), lambda t: F.xxhash64(t)).alias("_ha"),
-        "_n",
-    )
+    harr = arrays.select("_aid", "_ha", "_n")
     rough = (
         cand.join(
             harr.select(

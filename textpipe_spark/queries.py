@@ -567,17 +567,36 @@ SQL_SENTIMENT_MULTILANG = _sql_sentiment_multilang()
 def q_unigram_ppl(spark, sf_dir):
     """Corpus-unigram-LM perplexity per doc. The corpus token total enters
     the plan as a broadcast 1-row aggregate (crossJoin), NOT a driver-side
-    .count() action — one job, one scan+tokenize of the corpus feeding both
-    the frequency table and the per-doc average."""
+    .count() action.
+
+    r6: token frequency comes from a count window over Exchange(token)
+    instead of a groupBy+equi-join — the join probed the raw occurrence
+    table against the freq aggregate, paying a per-occurrence hash join
+    on top of the chain runs. Per-row math is unchanged —
+    avg(ln(cnt/total)) over exactly the same occurrence multiset.
+    Measured sf1.0 quiet best-of-2: 1.68 s / 28.1 JVM CPU-s (old join)
+    -> 1.44 s / 23.9 (this shape); driver r5 median was 2.34 s. Scale
+    note: a pathologically hot token concentrates its occurrences in
+    one window group — same spill-safe straggler caveat as the
+    pair-mining window; the old plan's shuffled-join fallback
+    (vocabulary over broadcast) had the identical hot-key skew."""
     d = _docs(spark, sf_dir)
     toks = X.tokens_lower_col(F.col("clean"))
     tok_df = d.select("doc_id", F.explode(toks).alias("token"))
-    freq = tok_df.groupBy("token").agg(F.count("*").alias("cnt"))
-    total = freq.agg(F.sum("cnt").cast("double").alias("_total"))
-    # the freq side is the CORPUS VOCABULARY — un-hinted equi-join so AQE
-    # broadcasts it while it fits and falls back to a hash shuffle when a
-    # 100 TB vocabulary doesn't; only the 1-row total is hint-broadcast
-    joined = tok_df.join(freq, "token").crossJoin(F.broadcast(total))
+    cnted = tok_df.withColumn(
+        "cnt", F.count("*").over(Window.partitionBy("token"))
+    )
+    # 1-row total. Column pruning deletes the unused window (and its
+    # sort) from this branch, leaving a plain chain+count — the chain
+    # does run once more here, but the A/B at sf1.0 (quiet, best-of-2)
+    # showed every alternative worse: forcing the window to survive so
+    # the branch could share Exchange(token) (an opaque sum(when(cnt>0))
+    # count) re-ran the window sort per branch without exchange reuse
+    # under the write path (1.88 s / 25.5 CPU-s), and the old
+    # groupBy+equi-join paid the join on top of two chain runs
+    # (1.68 s / 28.1 CPU-s) vs 1.44 s / 23.9 CPU-s for this shape.
+    total = cnted.groupBy().agg(F.count("*").cast("double").alias("_total"))
+    joined = cnted.crossJoin(F.broadcast(total))
     return joined.groupBy("doc_id").agg(
         F.round(
             F.exp(-F.avg(F.log(F.col("cnt").cast("double") / F.col("_total")))),
