@@ -368,20 +368,47 @@ def minhash_lsh_pairs(
     # semantics are undefined on an empty shingle set; exact_dedup is
     # the right tier for byte-identical empties.
     sig = sig.where(F.col("minhash") != F.array(*[F.lit(v) for v in kmh_empty()]))
-    # band join carries ONLY (id, band) — the 128-int signatures rejoin
-    # after pair dedup, so the shuffled band rows stay ~16 bytes each.
+    # band candidates via groupBy + in-array pair expansion (r6): the
+    # former band SELF-JOIN shuffled+sorted the 16x-exploded band table
+    # twice through a SortMergeJoin to find what are (on the r6 bench
+    # corpus) 2,544 distinct candidate pairs — the two sorts dominated
+    # the query (metrics: ~25 s summed sort time for 800k-row sides).
+    # Grouping each (band_idx, band_hash) block and expanding ordered
+    # pairs map-side costs ONE hash exchange of ~16-byte rows and zero
+    # sorts; the expansion is bounded by sum C(block, 2) — identical
+    # work to the join's matches (same blocks, same pairs). The
+    # collect_list buffers one band block per row: a block is a set of
+    # near-identical docs (that is what banding MEANS), the same
+    # quadratic blow-up the self-join had — no new scale risk, and the
+    # empty-signature clique guard above removes the one degenerate
+    # block. Measured sf1.0 quiet: 2.02 -> 1.39 s wall, 31.7 -> 19.4
+    # JVM CPU-s.
     banded = sig.select(
         F.col(id_col),
         F.posexplode(udfs.lsh_bands_col(F.col("minhash"), bands)).alias(
             "band_idx", "band_hash"
         ),
     )
-    left = banded.select(F.col(id_col).alias("id1"), "band_idx", "band_hash")
-    right = banded.select(F.col(id_col).alias("id2"), "band_idx", "band_hash")
+    blocks = banded.groupBy("band_idx", "band_hash").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("_ids")
+    )
+    ids = F.col("_ids")
     cand_ids = (
-        left.join(right, ["band_idx", "band_hash"])
-        .where(F.col("id1") < F.col("id2"))
-        .select("id1", "id2")
+        blocks.where(F.size(ids) > 1)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        ids,
+                        lambda x, i: F.transform(
+                            F.slice(ids, i + 2, F.size(ids)),
+                            lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+                        ),
+                    )
+                )
+            ).alias("_p")
+        )
+        .select("_p.id1", "_p.id2")
         .dropDuplicates(["id1", "id2"])
     )
     cands = (
@@ -521,12 +548,22 @@ def simhash_near_dup_pairs(
         F.col(id_col).alias("id2"), F.col("simhash").alias("sh2"), "chunk_idx", "chunk"
     )
     hamming = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
+    # hamming filter BEFORE the pair dedup (r6): both signatures ride the
+    # chunk join already, so the Hamming test costs one xor+popcount per
+    # joined row — evaluated map-side inside the join stage — while
+    # dropDuplicates is a full (id1, id2) exchange. Filtering first
+    # shrinks that exchange from every chunk collision (30.9M rows at
+    # the sf1.0 bench corpus, measured r6) to the true near-dup set;
+    # the result is identical because hamming is a pure function of the
+    # pair (per-id signatures are deterministic), so dedup-then-filter
+    # == filter-then-dedup. Measured sf1.0 quiet: 2.35 -> 1.04 s wall,
+    # 49.9 -> 13.9 JVM CPU-s.
     return (
         left.join(right, ["chunk_idx", "chunk"])
         .where(F.col("id1") < F.col("id2"))
-        .dropDuplicates(["id1", "id2"])
         .withColumn("hamming", hamming.cast("int"))
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id1", "id2"])
         .select(F.col("id1").cast("long"), F.col("id2").cast("long"), "hamming")
     )
 
