@@ -308,6 +308,46 @@ def test_jaccard_threshold_pairs_random_vs_bruteforce(spark):
             )
 
 
+def test_df_pregate_megakey_identity(spark):
+    """Skew pre-gate (r5 VERDICT #4): a mega-key corpus (one boilerplate
+    key in EVERY doc) must produce identical pair output with and
+    without the sampled pre-gate, for any sample — the gate only drops
+    keys provably over the cap. Checked with the full table as the
+    sample (catches the mega key for sure) and with a sample that
+    catches nothing (empty gate set)."""
+    import random
+
+    rng = random.Random(11)
+    rows = set()
+    n_docs = 40
+    for d in range(n_docs):
+        rows.add((d, "MEGA-BOILERPLATE"))  # df = n_docs >> cap
+        for k in rng.sample(range(12), rng.randint(1, 8)):
+            rows.add((d, f"k{k}"))
+    t = spark.createDataFrame(sorted(rows), "doc_id long, key string")
+    for op, kwargs in (
+        (dedup.shared_key_pair_sizes, {}),
+        (dedup.jaccard_threshold_pairs, {"threshold": 0.3}),
+    ):
+        base = {
+            (r["id1"], r["id2"]): (r["shared"], r["n1"], r["n2"])
+            for r in op(t, "key", "doc_id", df_cap=5, **kwargs).collect()
+        }
+        for sample in (t, t.sample(fraction=0.2, seed=3)):
+            gated = {
+                (r["id1"], r["id2"]): (r["shared"], r["n1"], r["n2"])
+                for r in op(
+                    t, "key", "doc_id", df_cap=5,
+                    pregate_sample=sample, **kwargs
+                ).collect()
+            }
+            assert gated == base, f"{op.__name__}: pre-gate changed results"
+    # and the gate set itself is exactly the provably-over-cap keys
+    over = dedup.apply_df_pregate(t, t, "key", 5)
+    assert over.where(F.col("key") == "MEGA-BOILERPLATE").count() == 0
+    assert over.count() < len(rows)
+
+
 def test_drop_boilerplate_lines(spark):
     """Corpus-level boilerplate line removal: a header repeated across >
     max_df docs is dropped from every doc, unique lines and blank-line

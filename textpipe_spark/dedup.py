@@ -45,8 +45,42 @@ def _pair_expand_incl_self(ids_col: str):
     )
 
 
+def apply_df_pregate(
+    t: DataFrame, sample: DataFrame | None, key_col: str, df_cap: int
+) -> DataFrame:
+    """Skew pre-gate for the pair-mining window (VERDICT r5 #4): drop
+    keys PROVABLY over the df cap before the window sort, so a
+    pathologically common key (degenerate boilerplate) cannot serialize
+    its rows into a single sorted window group at 100x corpus scale.
+
+    ``sample`` is an exploded (id, key) table built from a CHEAP row
+    sample of the raw input (callers sample the scan BEFORE the
+    clean/shingle projection — sampling the projected table would pay
+    the full chain to discard 99% of it). The drop set is exact, never
+    approximate: a key with more than df_cap occurrences in ANY subset
+    of the corpus has more than df_cap in the full corpus, so every
+    dropped key would have been dropped by the window filter anyway —
+    results are identical whatever the sample catches; the sample
+    fraction only tunes WHICH over-cap keys are caught early
+    (fraction f catches df >~ cap/f). The anti-join is map-side: the
+    gate set is bounded by sampled_occurrences/df_cap rows (the sample
+    size bounds it, not the corpus), so the broadcast is safe where
+    broadcasting the FULL over-cap key set (linear in corpus, the r4
+    design this replaces) was not."""
+    if sample is None:
+        return t
+    over = (
+        sample.groupBy(key_col)
+        .agg(F.count("*").alias("_scnt"))
+        .where(F.col("_scnt") > df_cap)
+        .select(key_col)
+    )
+    return t.join(F.broadcast(over), key_col, "left_anti")
+
+
 def shared_key_pair_sizes(
-    t: DataFrame, key_col: str, id_col: str, df_cap: int
+    t: DataFrame, key_col: str, id_col: str, df_cap: int,
+    pregate_sample: DataFrame | None = None,
 ) -> DataFrame:
     """(id1, id2, shared, n1, n2) from an exploded (id, key) table, where
     ``shared`` counts keys the two docs have in common (the caller must
@@ -75,11 +109,14 @@ def shared_key_pair_sizes(
     (id, key) / (id1, id2) — 16-24 bytes — so shuffling the over-cap rows
     before dropping them costs bytes-linear work. The one scale caveat: a
     pathologically common key (df approaching the corpus size)
-    concentrates its rows into a single sorted window group — a
-    spill-safe straggler, not an OOM (the sort spills; the collect_list
-    buffer only ever sees df<=cap survivors). Corpus-pipeline runs that
-    expect degenerate boilerplate should pre-strip it with
-    drop_boilerplate_lines, which partial-aggregates map-side."""
+    concentrates its rows into a single sorted window group — r6:
+    BOUNDED by the sampled pre-gate (``pregate_sample`` +
+    apply_df_pregate drops provably-over-cap keys map-side before the
+    sort); without a sample it remains a spill-safe straggler, not an
+    OOM (the sort spills; the collect_list buffer only ever sees
+    df<=cap survivors), and drop_boilerplate_lines stays the pre-strip
+    for degenerate corpora."""
+    t = apply_df_pregate(t, pregate_sample, key_col, df_cap)
     surv = t.withColumn(
         "_kdf", F.count("*").over(Window.partitionBy(key_col))
     ).where(F.col("_kdf") <= df_cap)
@@ -123,7 +160,8 @@ def shared_key_pair_sizes(
 
 
 def jaccard_threshold_pairs(
-    t: DataFrame, key_col: str, id_col: str, df_cap: int, threshold: float
+    t: DataFrame, key_col: str, id_col: str, df_cap: int, threshold: float,
+    pregate_sample: DataFrame | None = None,
 ) -> DataFrame:
     """(id1, id2, shared, n1, n2) — COMPLETE for every pair whose Jaccard
     over the df-capped key sets is >= ``threshold``; pairs below the
@@ -168,7 +206,9 @@ def jaccard_threshold_pairs(
     Every shuffle is a hash exchange; the per-doc array crosses a
     shuffle as one row per doc, never replicated per posting. The
     skewed-key caveat of shared_key_pair_sizes applies to the window
-    here identically."""
+    here identically — and the same sampled pre-gate bounds it
+    (``pregate_sample`` / apply_df_pregate)."""
+    t = apply_df_pregate(t, pregate_sample, key_col, df_cap)
     surv = t.withColumn(
         "_kdf", F.count("*").over(Window.partitionBy(key_col))
     ).where(F.col("_kdf") <= df_cap)
@@ -458,6 +498,7 @@ def fingerprint_overlap_pairs(
     df_cap: int = 100,
     k: int = 16,
     window: int = 32,
+    sample_df: DataFrame | None = None,
 ) -> DataFrame:
     """Code-clone / partial-overlap pairs via winnowing fingerprints
     (Schleimer et al., SIGMOD'03 — kernel/minhash.py winnow_fingerprints).
@@ -485,12 +526,20 @@ def fingerprint_overlap_pairs(
     # pair aggregate as self-pair sentinels (shared_key_pair_sizes), so
     # the winnow UDF runs exactly once with no persist, driver-side
     # action, or forced broadcast.
-    exploded = df.select(
-        F.col(id_col).alias("_id"), winnow(F.col(text_col)).alias("_fps")
-    ).select("_id", F.explode("_fps").alias("fp"))
-    pairs = shared_key_pair_sizes(exploded, "fp", "_id", df_cap).where(
-        F.col("shared") >= min_overlap
-    )
+    def explode_fps(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            F.col(id_col).alias("_id"), winnow(F.col(text_col)).alias("_fps")
+        ).select("_id", F.explode("_fps").alias("fp"))
+
+    exploded = explode_fps(df)
+    # ``sample_df``: a cheap row sample of the input (sampled BEFORE any
+    # expensive projection — see queries._docs_sample) feeding the skew
+    # pre-gate (apply_df_pregate): fingerprints provably over the df cap
+    # are dropped map-side before the window sort.
+    pairs = shared_key_pair_sizes(
+        exploded, "fp", "_id", df_cap,
+        pregate_sample=explode_fps(sample_df) if sample_df is not None else None,
+    ).where(F.col("shared") >= min_overlap)
     containment = F.round(
         F.col("shared").cast("double") / F.least("n1", "n2").cast("double"), 4
     )
