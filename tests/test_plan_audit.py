@@ -117,7 +117,12 @@ def test_pair_mining_single_emission(spark):
     subtrees diverge, and the window+expand mid-chain re-runs per branch
     (2x JVM CPU, measured r5). No persisted intermediate, no
     sort-merge join at driver scale (the sizes side must broadcast),
-    and the winnow UDF must appear exactly once."""
+    and the winnow UDF must appear exactly once.
+
+    Spark-version assumption (ADVICE r5): these pins are physical-plan
+    string artifacts of Spark 4.1 + current AQE broadcast thresholds. If
+    a Spark upgrade flakes this test, triage as 're-verify the plan
+    shape on the new version', not 'revert the upgrade'."""
     def final_section(df):
         # executedPlan().toString() prints BOTH the final and the
         # initial adaptive plan; only the final section describes what

@@ -404,6 +404,16 @@ def emoji_count_col(text: Column) -> Column:
     return F.regexp_count(text, F.lit(kemoji.EMOJI_PATTERN))
 
 
+# r6 note: a native emojis_rendered twin (regexp_extract_all on the
+# shared class + constant-folded 969-entry map) was tried and measured a
+# 7x PESSIMIZATION (0.98 -> 7.31 s, 196 JVM CPU-s at sf1.0): Java's
+# Pattern walks the 969-entry supplementary-character class per position
+# where Python re and RE2 use compiled class tables. The pandas UDF
+# (udfs.emojis_rendered_udf) stays the fast path for the rendered query;
+# regexp_count on the same class (emoji_count_col) is only viable
+# because counting is not on any hot benchmarked path.
+
+
 def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
     """Distinct word k-gram shingles from a MATERIALISED token-array column
     (the native twin of kernel ``minhash.shingles`` — same <k-token

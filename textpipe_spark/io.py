@@ -178,7 +178,14 @@ def small_local_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
     pass plain tuples exactly as they did with createDataFrame. An EMPTY
     rows list goes through a constant-folded ``WHERE 1=0`` projection —
     `createDataFrame([]/empty pandas)` still builds an ExistingRDD scan
-    that schedules one no-op Python-worker task per core."""
+    that schedules one no-op Python-worker task per core.
+
+    Caveat (ADVICE r5): the pandas intermediate upcasts an integer
+    column containing ``None`` to float64 before the Arrow cast back,
+    which can silently null/round values — do NOT pass ``None`` in
+    integer columns (no current caller does; use plain
+    ``spark.createDataFrame`` for nullable-int lexicons if ever
+    needed)."""
     import pandas as pd
     from pyspark.sql.types import StructType
 

@@ -1969,6 +1969,13 @@ def q_emojis_annotated(spark, sf_dir):
     'emoji|name|sentiment_micro' in occurrence order; sentiment is the
     kernel's canonical micro-unit integer (kernel/emoji.py SENT_MICRO) so no
     engine rounds a float at compare time. Oracle: _sql_emojis_annotated."""
+    # NOTE r6: a native twin (Java regexp_extract_all on the shared
+    # character class + constant-folded map) was built and MEASURED as a
+    # 7x pessimization — 0.98 s / ~10 pyworker CPU-s (this UDF) vs
+    # 7.31 s / 196 JVM CPU-s at sf1.0. Java's Pattern evaluates the
+    # 969-entry supplementary-char class catastrophically slower than
+    # Python re's compiled class (and DuckDB's RE2 DFA); the Arrow
+    # round-trip is the cheaper boundary here. Kept the UDF on purpose.
     d = _docs(spark, sf_dir)
     return d.select(
         "doc_id", udfs.emojis_rendered_udf(F.col("clean")).alias("emojis")
