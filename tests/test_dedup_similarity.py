@@ -308,6 +308,64 @@ def test_jaccard_threshold_pairs_random_vs_bruteforce(spark):
             )
 
 
+def test_overlap_threshold_pairs_random_vs_bruteforce(spark):
+    """Property check of the overlap/containment prefix join (r6
+    fingerprint generation) against a brute-force Python oracle. The
+    contract: every pair with shared >= min_overlap AND
+    shared/min(n1,n2) >= mc must be emitted with EXACT shared/n1/n2;
+    rows below the thresholds may appear. Uses integral keys (the
+    winnow-fingerprint shape). Covers docs below min_overlap keys
+    (empty prefix), over-cap keys, mc=0, and df at the cap."""
+    import random
+    from collections import Counter, defaultdict
+
+    for seed, n_docs, n_keys, cap, mo, mc in (
+        (7, 18, 9, 3, 2, 0.0),
+        (23, 30, 7, 4, 3, 0.299),
+        (41, 24, 12, 5, 1, 0.5),
+        (77, 16, 10, 100, 4, 0.25),
+    ):
+        rng = random.Random(seed)
+        table = set()
+        for d in range(n_docs):
+            for k in rng.sample(range(n_keys), rng.randint(0, n_keys - 1)):
+                table.add((d, k * 7919))  # integral keys, spread out
+        rows = sorted(table)
+        df_count = Counter(k for _, k in rows)
+        keys_of = defaultdict(set)
+        for d, k in rows:
+            if df_count[k] <= cap:
+                keys_of[d].add(k)
+        expected, exact = {}, {}
+        docs = sorted(keys_of)
+        for i, d1 in enumerate(docs):
+            for d2 in docs[i + 1 :]:
+                s = len(keys_of[d1] & keys_of[d2])
+                if not s:
+                    continue
+                n1, n2 = len(keys_of[d1]), len(keys_of[d2])
+                exact[(d1, d2)] = (s, n1, n2)
+                if s >= mo and s / min(n1, n2) >= mc:
+                    expected[(d1, d2)] = (s, n1, n2)
+        t = spark.createDataFrame(rows, "doc_id long, key long")
+        got = {
+            (r["id1"], r["id2"]): (r["shared"], r["n1"], r["n2"])
+            for r in dedup.overlap_threshold_pairs(
+                t, "key", "doc_id", df_cap=cap,
+                min_overlap=mo, min_containment_gen=mc,
+            ).collect()
+        }
+        for pair, vals in expected.items():
+            assert got.get(pair) == vals, (
+                f"seed={seed} mo={mo} mc={mc}: qualifying pair {pair} "
+                f"missing or wrong: {got.get(pair)} != {vals}"
+            )
+        for pair, vals in got.items():
+            assert exact[pair] == vals, (
+                f"seed={seed}: emitted pair {pair} inexact {vals}"
+            )
+
+
 def test_df_pregate_megakey_identity(spark):
     """Skew pre-gate (r5 VERDICT #4): a mega-key corpus (one boilerplate
     key in EVERY doc) must produce identical pair output with and

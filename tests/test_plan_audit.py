@@ -105,19 +105,18 @@ def test_near_dup_tiers_shuffle_only_by_hash(spark):
 
 
 def test_pair_mining_single_emission(spark):
-    """The r5 pair-mining shape (PLANS.md §3): jaccard_pairs and
-    fingerprint_overlap run the expensive chain (clean/winnow + explode
-    + window df-cap + posting lists + pair expansion) exactly ONCE. The
-    per-doc sizes come back from self-pair sentinel rows via two
-    AQE-planned joins against a one-row-per-doc sizes table — so the
-    RUNTIME adaptive plan must show both heavy exchanges materialised
-    once and REUSED by the sizes branches (ReusedExchange x2). Without
-    the pushdown barrier in shared_key_pair_sizes, Catalyst pushes the
-    branch filters below the shared pair aggregate, the exchange
-    subtrees diverge, and the window+expand mid-chain re-runs per branch
-    (2x JVM CPU, measured r5). No persisted intermediate, no
-    sort-merge join at driver scale (the sizes side must broadcast),
-    and the winnow UDF must appear exactly once.
+    """The pair-mining single-emission contract (PLANS.md §3, r6
+    shapes): jaccard_pairs and fingerprint_overlap run the expensive
+    chain (clean/shingle or winnow + explode + window df-cap) exactly
+    ONCE. Both now generate candidates through the prefix-filtered join
+    (dedup.jaccard_threshold_pairs / overlap_threshold_pairs): the
+    finished per-doc arrays cross ONE repartition(id) exchange that
+    every consumer (both prefix-join sides and the verify joins) must
+    read back via AQE ReusedExchange — a reuse count below 2 means a
+    consumer is re-running the window/collect mid-chain. No persisted
+    intermediate, no sort-merge join at driver scale (the arrays side
+    must broadcast at sf0.001), and the winnow UDF must appear exactly
+    once on the main path.
 
     Spark-version assumption (ADVICE r5): these pins are physical-plan
     string artifacts of Spark 4.1 + current AQE broadcast thresholds. If

@@ -353,6 +353,128 @@ def jaccard_threshold_pairs(
     )
 
 
+def overlap_threshold_pairs(
+    t: DataFrame,
+    key_col: str,
+    id_col: str,
+    df_cap: int,
+    min_overlap: int,
+    min_containment_gen: float = 0.0,
+    pregate_sample: DataFrame | None = None,
+) -> DataFrame:
+    """(id1, id2, shared, n1, n2) — COMPLETE for every pair with
+    shared >= min_overlap AND containment (shared/min(n1,n2)) >=
+    ``min_containment_gen`` over the df-capped key sets; shared/n1/n2
+    are EXACT on every emitted row (rows below the thresholds may
+    appear — the caller applies its exact final filters). The
+    overlap/containment sibling of ``jaccard_threshold_pairs`` for
+    INTEGRAL keys (winnow fingerprints): the per-doc arrays are the key
+    values themselves, so one native array_intersect is exact and no
+    hashed tier is needed.
+
+    Generation: per-doc keys sorted rarest-first by the global
+    (df, key) order; prefix postings of length n - min_overlap + 1 (a
+    pair sharing s >= min_overlap keys has its smallest shared key at
+    position <= n - s + 1 <= n - min_overlap + 1 in BOTH docs — the
+    same smallest-shared-key argument as the jaccard operator); the
+    self-join condition adds the pair-level positional bound
+    1 + min(remaining1, remaining2) >= max(min_overlap,
+    min_containment_gen * min(n1, n2)), evaluated at every match — for
+    a qualifying pair the smallest-shared match satisfies it because
+    the bound is >= s there. Caller contract as everywhere in this
+    module: per-doc DISTINCT keys."""
+    t = apply_df_pregate(t, pregate_sample, key_col, df_cap)
+    surv = t.withColumn(
+        "_kdf", F.count("*").over(Window.partitionBy(key_col))
+    ).where(F.col("_kdf") <= df_cap)
+    arrays = (
+        surv.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("_kdf").alias("_d"), F.col(key_col).alias("_k"))
+                )
+            ).alias("_sk")
+        )
+        .select(
+            F.col(id_col).alias("_aid"),
+            F.transform(F.col("_sk"), lambda s: s["_k"]).alias("_arr"),
+            F.size(F.col("_sk")).alias("_n"),
+        )
+        # same materialisation point as jaccard_threshold_pairs: finished
+        # arrays cross one exchange, every consumer reuses it
+        .repartition(F.col("_aid"))
+    )
+    # clamp at 0: a doc with n < min_overlap can never reach the overlap
+    # threshold (s <= n), so an empty prefix drops it from generation
+    # without touching completeness
+    plen = F.greatest(
+        F.col("_n") - F.lit(int(min_overlap)) + 1, F.lit(0)
+    ).cast("int")
+    pref = arrays.select(
+        F.col("_aid"),
+        F.col("_n"),
+        F.posexplode(F.slice(F.col("_arr"), F.lit(1), plen)).alias("_p", "_k"),
+    )
+    a = pref.select(
+        F.col("_aid").alias("id1"), F.col("_n").alias("_an"),
+        F.col("_p").alias("_ap"), "_k",
+    )
+    b = pref.select(
+        F.col("_aid").alias("id2"), F.col("_n").alias("_bn"),
+        F.col("_p").alias("_bp"), F.col("_k").alias("_k2"),
+    )
+    alpha = F.greatest(
+        F.lit(float(min_overlap)),
+        F.lit(float(min_containment_gen))
+        * F.least(F.col("_an"), F.col("_bn")).cast("double"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("_k") == F.col("_k2"))
+            & (F.col("id1") < F.col("id2"))
+            & (
+                (
+                    1
+                    + F.least(
+                        F.col("_an") - F.col("_ap") - 1,
+                        F.col("_bn") - F.col("_bp") - 1,
+                    )
+                ).cast("double")
+                >= alpha
+            ),
+        )
+        .select("id1", "id2")
+        .dropDuplicates(["id1", "id2"])
+    )
+    return (
+        cand.join(
+            arrays.select(
+                F.col("_aid").alias("id1"), F.col("_arr").alias("_arr1"),
+                F.col("_n").alias("n1"),
+            ),
+            "id1",
+        )
+        .join(
+            arrays.select(
+                F.col("_aid").alias("id2"), F.col("_arr").alias("_arr2"),
+                F.col("_n").alias("n2"),
+            ),
+            "id2",
+        )
+        .select(
+            "id1",
+            "id2",
+            F.size(F.array_intersect(F.col("_arr1"), F.col("_arr2"))).alias(
+                "shared"
+            ),
+            "n1",
+            "n2",
+        )
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep-first exact dedup by content hash (one shuffle on the sha)."""
     sha = F.sha2(F.col(text_col), 256).alias("_sha")
@@ -536,8 +658,23 @@ def fingerprint_overlap_pairs(
     # expensive projection — see queries._docs_sample) feeding the skew
     # pre-gate (apply_df_pregate): fingerprints provably over the df cap
     # are dropped map-side before the window sort.
-    pairs = shared_key_pair_sizes(
+    #
+    # r6: generation goes through the prefix-filtered candidate join
+    # (overlap_threshold_pairs) instead of the exhaustive pair count
+    # (shared_key_pair_sizes): fingerprints are integral, so candidates
+    # verify with one exact native array_intersect, and the positional
+    # filter with the caller's real thresholds prunes before the pair
+    # aggregate. The generation containment threshold is the caller's
+    # minus 1e-3 — a pure safety margin for the round-half-up admission
+    # window of the final round(containment, 4) filter (exactness is
+    # unaffected: emitted rows carry exact counts and the final filters
+    # below are unchanged). Output proven equal to the r5 exhaustive
+    # form row-for-row at sf0.01 (24 pairs) and sf0.1 (249 pairs);
+    # measured sf1.0: 32.1 -> 26.8 JVM CPU-s.
+    pairs = overlap_threshold_pairs(
         exploded, "fp", "_id", df_cap,
+        min_overlap=min_overlap,
+        min_containment_gen=max(0.0, float(min_containment) - 1e-3),
         pregate_sample=explode_fps(sample_df) if sample_df is not None else None,
     ).where(F.col("shared") >= min_overlap)
     containment = F.round(
