@@ -627,9 +627,10 @@ def fingerprint_overlap_pairs(
 
     Where MinHash finds whole-document near-dups, winnowing finds documents
     SHARING PASSAGES (a copied function inside otherwise-different files):
-    each doc emits its fingerprint set, bounded posting lists count shared
-    fingerprints (shared_key_pair_sizes), and `containment` = shared / min(|fp1|, |fp2|)
-    scores the smaller doc's coverage. Same scale shape as jaccard_pairs:
+    each doc emits its fingerprint set, the prefix-filtered candidate join
+    (overlap_threshold_pairs, r6) finds pairs that can reach the
+    thresholds, and `containment` = shared / min(|fp1|, |fp2|) scores the
+    smaller doc's coverage. Same scale shape as jaccard_pairs:
     fingerprints with document frequency > df_cap are boilerplate and are
     dropped before the join (cost model: Σ min(df, cap)², linear in corpus
     size for fixed cap). Fingerprint density is ~1/window (the winnowing
@@ -639,15 +640,13 @@ def fingerprint_overlap_pairs(
     """
     winnow = udfs.make_winnow_udf(k, window)
     # winnow emits sorted-UNIQUE fingerprints per doc (kernel/minhash.py
-    # np.unique), so each shared fingerprint contributes exactly one
-    # (id1, id2) row and the pair count equals the shared-fingerprint
+    # np.unique), so size(array_intersect) equals the shared-fingerprint
     # count. Per-doc sizes are taken AFTER the rarity filter — numerator
     # and denominator count the same fingerprint population (the
     # jaccard_pairs convention; sizing before the filter underestimated
-    # containment for boilerplate-heavy docs, ADVICE r2) — and ride the
-    # pair aggregate as self-pair sentinels (shared_key_pair_sizes), so
-    # the winnow UDF runs exactly once with no persist, driver-side
-    # action, or forced broadcast.
+    # containment for boilerplate-heavy docs, ADVICE r2). The winnow UDF
+    # runs exactly once on the main path, with no persist, driver-side
+    # action, or forced broadcast (plan-pinned).
     def explode_fps(frame: DataFrame) -> DataFrame:
         return frame.select(
             F.col(id_col).alias("_id"), winnow(F.col(text_col)).alias("_fps")
