@@ -406,6 +406,30 @@ def test_df_pregate_megakey_identity(spark):
     assert over.count() < len(rows)
 
 
+def test_pair_query_paths_identical(spark):
+    """The pair-mining generation-path switch (queries.PAIR_PREFIX_MIN_ROWS,
+    r6): the prefix-filtered candidate join and the exhaustive pair
+    expansion must produce IDENTICAL rows from both declared queries —
+    the switch is pure cost, keyed on footer row count, and must never be
+    observable in results. Driver testdata (sf0.001) exercises the full
+    real chain (clean -> shingle/winnow -> df-cap -> pair mine -> final
+    filters) through both paths."""
+    from textpipe_spark.queries import q_fingerprint_overlap, q_jaccard_pairs
+
+    sf = "/root/testdata/sf0.001"
+    for q, key in ((q_jaccard_pairs, ("doc1", "doc2")),
+                   (q_fingerprint_overlap, ("id1", "id2"))):
+        rows = {}
+        for use_prefix in (True, False):
+            rows[use_prefix] = sorted(
+                tuple(r) for r in q(spark, sf, use_prefix_join=use_prefix).collect()
+            )
+        assert rows[True] == rows[False], (
+            f"{q.__name__}: generation paths disagree"
+        )
+        assert rows[True], f"{q.__name__}: empty output makes the check vacuous"
+
+
 def test_drop_boilerplate_lines(spark):
     """Corpus-level boilerplate line removal: a header repeated across >
     max_df docs is dropped from every doc, unique lines and blank-line

@@ -108,15 +108,19 @@ def test_pair_mining_single_emission(spark):
     """The pair-mining single-emission contract (PLANS.md §3, r6
     shapes): jaccard_pairs and fingerprint_overlap run the expensive
     chain (clean/shingle or winnow + explode + window df-cap) exactly
-    ONCE. Both now generate candidates through the prefix-filtered join
-    (dedup.jaccard_threshold_pairs / overlap_threshold_pairs): the
-    finished per-doc arrays cross ONE repartition(id) exchange that
-    every consumer (both prefix-join sides and the verify joins) must
-    read back via AQE ReusedExchange — a reuse count below 2 means a
-    consumer is re-running the window/collect mid-chain. No persisted
-    intermediate, no sort-merge join at driver scale (the arrays side
-    must broadcast at sf0.001), and the winnow UDF must appear exactly
-    once on the main path.
+    ONCE — on BOTH generation paths of the size switch
+    (queries.PAIR_PREFIX_MIN_ROWS): the prefix-filtered candidate join
+    (dedup.jaccard_threshold_pairs / overlap_threshold_pairs, the
+    at-scale default) and the exhaustive pair expansion
+    (shared_key_pair_sizes, chosen below the row threshold). On the
+    prefix path the finished per-doc arrays cross ONE repartition(id)
+    exchange that every consumer (both prefix-join sides and the verify
+    joins) must read back via AQE ReusedExchange; on the exhaustive path
+    the barrier splits pairs/sentinels off one materialised aggregate —
+    either way a reuse count below 2 means a consumer is re-running the
+    window/collect mid-chain. No persisted intermediate, no sort-merge
+    join at driver scale (the small sides must broadcast at sf0.001),
+    and the winnow UDF must appear exactly once on the main path.
 
     Spark-version assumption (ADVICE r5): these pins are physical-plan
     string artifacts of Spark 4.1 + current AQE broadcast thresholds. If
@@ -131,23 +135,25 @@ def test_pair_mining_single_emission(spark):
         return s.split("== Initial Plan ==")[0]
 
     for name in ("jaccard_pairs", "fingerprint_overlap"):
-        df = QUERIES[name](spark, SF_DIR)
-        df.collect()  # materialise: reuse is an AQE runtime decision
-        plan = final_section(df)
-        assert plan.count("ReusedExchange") >= 2, (
-            f"{name}: heavy exchanges not reused — the pair-mining "
-            f"mid-chain is re-running per sizes branch\n{plan}"
-        )
-        assert "InMemoryTableScan" not in plan, (
-            f"{name}: persisted intermediate in the pair-mining plan\n{plan}"
-        )
-        assert "SortMergeJoin" not in plan, (
-            f"{name}: sizes join degraded to sort-merge at driver scale\n{plan}"
-        )
-        if name == "fingerprint_overlap":
-            assert plan.count("ArrowEvalPython") == 1, (
-                "winnow UDF emitted more than once:\n" + plan
+        for use_prefix in (True, False):
+            df = QUERIES[name](spark, SF_DIR, use_prefix_join=use_prefix)
+            df.collect()  # materialise: reuse is an AQE runtime decision
+            plan = final_section(df)
+            tag = f"{name}[prefix={use_prefix}]"
+            assert plan.count("ReusedExchange") >= 2, (
+                f"{tag}: heavy exchanges not reused — the pair-mining "
+                f"mid-chain is re-running per sizes branch\n{plan}"
             )
+            assert "InMemoryTableScan" not in plan, (
+                f"{tag}: persisted intermediate in the pair-mining plan\n{plan}"
+            )
+            assert "SortMergeJoin" not in plan, (
+                f"{tag}: sizes join degraded to sort-merge at driver scale\n{plan}"
+            )
+            if name == "fingerprint_overlap":
+                assert plan.count("ArrowEvalPython") == 1, (
+                    f"{tag}: winnow UDF emitted more than once:\n" + plan
+                )
 
 
 def test_small_lexicons_are_local_relations(spark):

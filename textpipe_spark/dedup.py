@@ -621,6 +621,7 @@ def fingerprint_overlap_pairs(
     k: int = 16,
     window: int = 32,
     sample_df: DataFrame | None = None,
+    use_prefix_join: bool = True,
 ) -> DataFrame:
     """Code-clone / partial-overlap pairs via winnowing fingerprints
     (Schleimer et al., SIGMOD'03 — kernel/minhash.py winnow_fingerprints).
@@ -658,7 +659,7 @@ def fingerprint_overlap_pairs(
     # pre-gate (apply_df_pregate): fingerprints provably over the df cap
     # are dropped map-side before the window sort.
     #
-    # r6: generation goes through the prefix-filtered candidate join
+    # r6: generation defaults to the prefix-filtered candidate join
     # (overlap_threshold_pairs) instead of the exhaustive pair count
     # (shared_key_pair_sizes): fingerprints are integral, so candidates
     # verify with one exact native array_intersect, and the positional
@@ -669,13 +670,26 @@ def fingerprint_overlap_pairs(
     # unaffected: emitted rows carry exact counts and the final filters
     # below are unchanged). Output proven equal to the r5 exhaustive
     # form row-for-row at sf0.01 (24 pairs) and sf0.1 (249 pairs);
-    # measured sf1.0: 32.1 -> 26.8 JVM CPU-s.
-    pairs = overlap_threshold_pairs(
-        exploded, "fp", "_id", df_cap,
-        min_overlap=min_overlap,
-        min_containment_gen=max(0.0, float(min_containment) - 1e-3),
-        pregate_sample=explode_fps(sample_df) if sample_df is not None else None,
-    ).where(F.col("shared") >= min_overlap)
+    # measured sf1.0: 32.1 -> 26.8 JVM CPU-s. On SMALL corpora the
+    # candidate join's extra joins are pure fixed overhead (measured
+    # 9.0 -> 12.2 JVM CPU-s at 5k docs) — ``use_prefix_join=False``
+    # selects the exhaustive core instead; both paths emit identical
+    # rows (brute-force property tests on each core +
+    # test_pair_query_paths_identical on the query), so callers switch
+    # on input size alone (queries.PAIR_PREFIX_MIN_ROWS).
+    pregate = explode_fps(sample_df) if sample_df is not None else None
+    if use_prefix_join:
+        pairs = overlap_threshold_pairs(
+            exploded, "fp", "_id", df_cap,
+            min_overlap=min_overlap,
+            min_containment_gen=max(0.0, float(min_containment) - 1e-3),
+            pregate_sample=pregate,
+        )
+    else:
+        pairs = shared_key_pair_sizes(
+            exploded, "fp", "_id", df_cap, pregate_sample=pregate,
+        )
+    pairs = pairs.where(F.col("shared") >= min_overlap)
     containment = F.round(
         F.col("shared").cast("double") / F.least("n1", "n2").cast("double"), 4
     )

@@ -16,6 +16,7 @@ Determinism rules for the oracle match:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -91,6 +92,31 @@ def _read_parallel(spark: SparkSession, path: str) -> DataFrame:
     if width <= row_groups:
         return df
     return df.repartition(width)
+
+
+def _parquet_rows(path: str) -> int | None:
+    """Total row count from parquet footers — driver-side metadata (~1 ms
+    for local files), NO Spark action. Feeds cost-based choices that must
+    key on INPUT SIZE rather than the local core count (guide §2), e.g.
+    the pair-mining generation-path switch (``PAIR_PREFIX_MIN_ROWS``).
+    Returns None when metadata is unreadable; callers fall back to their
+    scale-safe default."""
+    try:
+        import glob
+        import os as _os
+
+        import pyarrow.parquet as pq
+
+        files = (
+            [path]
+            if _os.path.isfile(path)
+            else sorted(glob.glob(_os.path.join(path, "*.parquet")))
+        )
+        if not files:
+            return None
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        return None
 
 
 def _docs_projection(df: DataFrame) -> DataFrame:
@@ -681,10 +707,41 @@ def _shingle_tokens(d):
 # costs candidates, never correctness).
 JACCARD_PREFIX_T = 0.4999
 
+# Generation-path switch for the two pair-mining queries (guide §2:
+# derive the plan from input size, never from the local core count).
+# Below this many corpus rows the exhaustive pair expansion
+# (dedup.shared_key_pair_sizes) beats the prefix-filtered candidate join:
+# the prefix join's extra exchanges/joins are a fixed overhead a small
+# corpus never amortises (measured r6 at the 5k-doc scale, steal-immune
+# CPU: jaccard 0.89 s exhaustive vs 1.18 s prefix wall; fingerprint 9.0
+# vs 12.2 JVM CPU-s), while df concentration makes the exhaustive form
+# superlinearly worse as the corpus grows (50k docs: jaccard 14.9 s
+# exhaustive vs 3.7 s prefix — the r6 headline win). Both forms are
+# output-identical above the queries' final filters (oracle at both
+# paths + brute-force property tests + test_pair_query_paths_identical),
+# so the switch is pure cost, keyed on the parquet footer row count
+# (driver-side metadata, no Spark action). Unreadable metadata falls
+# back to the PREFIX join — the scale-safe side. The 16,384 default sits
+# between the two measured scales, biased low so anything near the
+# crossover gets the form whose cost is bounded at 100x.
+PAIR_PREFIX_MIN_ROWS = int(
+    os.environ.get("SPARK_GRAFT_PAIR_PREFIX_MIN_ROWS", "16384")
+)
 
-def q_jaccard_pairs(spark, sf_dir, df_cap: int = JACCARD_DF_CAP):
-    from .dedup import jaccard_threshold_pairs
 
+def _use_prefix_join(sf_dir: str) -> bool:
+    rows = _parquet_rows(f"{sf_dir}/documents.parquet")
+    return rows is None or rows >= PAIR_PREFIX_MIN_ROWS
+
+
+def q_jaccard_pairs(
+    spark, sf_dir, df_cap: int = JACCARD_DF_CAP,
+    use_prefix_join: bool | None = None,
+):
+    from .dedup import jaccard_threshold_pairs, shared_key_pair_sizes
+
+    if use_prefix_join is None:
+        use_prefix_join = _use_prefix_join(sf_dir)
     d = _docs(spark, sf_dir)
     # shingles are array_distinct per doc (functions/text.py), so
     # size(array_intersect) equals the shingle-intersection size. r6:
@@ -696,17 +753,28 @@ def q_jaccard_pairs(spark, sf_dir, df_cap: int = JACCARD_DF_CAP):
     # PREFIX postings with length+positional pruning (11M candidates at
     # sf1.0) and verifies each exactly with a native array_intersect;
     # output above the 0.5 filter is provably identical (dedup.py
-    # completeness argument; oracle-verified at sf0.001/0.01/0.1/1.0).
+    # completeness argument; oracle-verified at sf0.001/0.01/0.1/1.0 on
+    # both paths). Below PAIR_PREFIX_MIN_ROWS the exhaustive form is the
+    # cheaper plan (its pair blow-up never happens on a small corpus;
+    # the prefix join's extra joins are fixed overhead) — the switch
+    # picks per input size, results identical either way.
     # The clean chain + tokenisation + shingling still run exactly once
     # (AQE exchange reuse, pinned by test_pair_mining_single_emission).
     # The 1% doc sample feeds the skew pre-gate: shingles provably over
     # the df cap are dropped map-side before the window sort (r5
     # VERDICT #4 — results identical, the window filter would drop them
     # anyway; only the straggler goes away).
-    pairs = jaccard_threshold_pairs(
-        _shingle_tokens(d), "token", "doc_id", df_cap, JACCARD_PREFIX_T,
-        pregate_sample=_shingle_tokens(_docs_sample(spark, sf_dir)),
-    )
+    sample = _shingle_tokens(_docs_sample(spark, sf_dir))
+    if use_prefix_join:
+        pairs = jaccard_threshold_pairs(
+            _shingle_tokens(d), "token", "doc_id", df_cap, JACCARD_PREFIX_T,
+            pregate_sample=sample,
+        )
+    else:
+        pairs = shared_key_pair_sizes(
+            _shingle_tokens(d), "token", "doc_id", df_cap,
+            pregate_sample=sample,
+        )
     out = (
         pairs.withColumn(
             "jaccard",
@@ -1552,21 +1620,26 @@ def q_fingerprint(spark, sf_dir):
     )
 
 
-def q_fingerprint_overlap(spark, sf_dir):
+def q_fingerprint_overlap(spark, sf_dir, use_prefix_join: bool | None = None):
     """Passage-overlap (code-clone) pairs via winnowing fingerprints
     (dedup.fingerprint_overlap_pairs). No SQL oracle: fingerprints are
     sha1 rolling hashes (see q_fingerprint); the join/containment algebra
     is pytest-covered (tests/test_dedup_similarity.py)."""
     from .dedup import fingerprint_overlap_pairs
 
+    if use_prefix_join is None:
+        use_prefix_join = _use_prefix_join(sf_dir)
     d = _docs(spark, sf_dir).select("doc_id", "clean")
     # coarse winnow grid (k=16, window=32: catches shared substrings >= 47
     # chars at ~1/32 fingerprint density); thresholds probed on the driver
     # corpus — the containment floor separates copied passages from shared
-    # vocabulary (24 pairs at sf0.01, 249 at sf0.1)
+    # vocabulary (24 pairs at sf0.01, 249 at sf0.1). Generation path per
+    # PAIR_PREFIX_MIN_ROWS (same cost switch as q_jaccard_pairs; both
+    # paths proven row-identical).
     return fingerprint_overlap_pairs(
         d, text_col="clean", id_col="doc_id", min_overlap=3, min_containment=0.3,
         sample_df=_docs_sample(spark, sf_dir).select("doc_id", "clean"),
+        use_prefix_join=use_prefix_join,
     )
 
 
