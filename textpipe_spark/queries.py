@@ -728,10 +728,30 @@ PAIR_PREFIX_MIN_ROWS = int(
     os.environ.get("SPARK_GRAFT_PAIR_PREFIX_MIN_ROWS", "16384")
 )
 
+# fingerprint_overlap's crossover sits far HIGHER than jaccard's: its
+# min_overlap/containment thresholds prune candidates weakly (prefix
+# length n - min_overlap + 1 is nearly the whole array), so the
+# candidate join only beats the exhaustive aggregate once its slower
+# CPU growth on large real-text corpora dominates. Measured: real-text
+# 50k docs — wall flat (isolated harness ~2.6 s both paths), CPU 26.8
+# prefix vs 32.1 exhaustive, with the exhaustive form's frozen-bench
+# wall at 2.28 s; on a REPETITIVE 31-word-vocab synthetic the prefix
+# join LOSES outright (2.68 vs 3.29 s at 50k, 5.27 vs 9.86 s at 100k —
+# weak pruning + dense sharing explode its candidates). CPU growth per
+# 10x docs on real text: exhaustive 3.6x vs prefix 2.2x, so prefix wins
+# clearly somewhere past ~250k docs. Below this threshold the
+# exhaustive aggregate is at-or-better in wall and robust to
+# distribution shift; above it, candidate bounding wins.
+FP_PREFIX_MIN_ROWS = int(
+    os.environ.get("SPARK_GRAFT_FP_PREFIX_MIN_ROWS", "262144")
+)
 
-def _use_prefix_join(sf_dir: str) -> bool:
+
+def _use_prefix_join(sf_dir: str, min_rows: int | None = None) -> bool:
     rows = _parquet_rows(f"{sf_dir}/documents.parquet")
-    return rows is None or rows >= PAIR_PREFIX_MIN_ROWS
+    return rows is None or rows >= (
+        PAIR_PREFIX_MIN_ROWS if min_rows is None else min_rows
+    )
 
 
 def q_jaccard_pairs(
@@ -1628,14 +1648,15 @@ def q_fingerprint_overlap(spark, sf_dir, use_prefix_join: bool | None = None):
     from .dedup import fingerprint_overlap_pairs
 
     if use_prefix_join is None:
-        use_prefix_join = _use_prefix_join(sf_dir)
+        use_prefix_join = _use_prefix_join(sf_dir, FP_PREFIX_MIN_ROWS)
     d = _docs(spark, sf_dir).select("doc_id", "clean")
     # coarse winnow grid (k=16, window=32: catches shared substrings >= 47
     # chars at ~1/32 fingerprint density); thresholds probed on the driver
     # corpus — the containment floor separates copied passages from shared
     # vocabulary (24 pairs at sf0.01, 249 at sf0.1). Generation path per
-    # PAIR_PREFIX_MIN_ROWS (same cost switch as q_jaccard_pairs; both
-    # paths proven row-identical).
+    # FP_PREFIX_MIN_ROWS (the jaccard-style cost switch with fingerprint's
+    # own, much higher crossover — see the constant; both paths proven
+    # row-identical).
     return fingerprint_overlap_pairs(
         d, text_col="clean", id_col="doc_id", min_overlap=3, min_containment=0.3,
         sample_df=_docs_sample(spark, sf_dir).select("doc_id", "clean"),
