@@ -414,11 +414,12 @@ def test_pair_query_paths_identical(spark):
     observable in results. Driver testdata (sf0.001) exercises the full
     real chain (clean -> shingle/winnow -> df-cap -> pair mine -> final
     filters) through both paths."""
+    from conftest import TESTDATA
+
     from textpipe_spark.queries import q_fingerprint_overlap, q_jaccard_pairs
 
-    sf = "/root/testdata/sf0.001"
-    for q, key in ((q_jaccard_pairs, ("doc1", "doc2")),
-                   (q_fingerprint_overlap, ("id1", "id2"))):
+    sf = TESTDATA
+    for q in (q_jaccard_pairs, q_fingerprint_overlap):
         rows = {}
         for use_prefix in (True, False):
             rows[use_prefix] = sorted(

@@ -140,6 +140,16 @@ def test_pair_mining_single_emission(spark):
             df.collect()  # materialise: reuse is an AQE runtime decision
             plan = final_section(df)
             tag = f"{name}[prefix={use_prefix}]"
+            # the default-args product audit (test_no_unplanned_products)
+            # exercises only the SIZE-SWITCH default — the exhaustive core
+            # on driver-scale testdata — so the at-scale prefix path gets
+            # its Cartesian/BNLJ pins here
+            assert "CartesianProduct" not in plan, (
+                f"{tag}: plans a CartesianProduct\n{plan}"
+            )
+            assert "BroadcastNestedLoopJoin" not in plan, (
+                f"{tag}: plans a BroadcastNestedLoopJoin\n{plan}"
+            )
             assert plan.count("ReusedExchange") >= 2, (
                 f"{tag}: heavy exchanges not reused — the pair-mining "
                 f"mid-chain is re-running per sizes branch\n{plan}"

@@ -676,7 +676,9 @@ def fingerprint_overlap_pairs(
     # selects the exhaustive core instead; both paths emit identical
     # rows (brute-force property tests on each core +
     # test_pair_query_paths_identical on the query), so callers switch
-    # on input size alone (queries.PAIR_PREFIX_MIN_ROWS).
+    # on input size alone (queries.FP_PREFIX_MIN_ROWS for this operator
+    # — fingerprint's crossover sits far above jaccard's
+    # PAIR_PREFIX_MIN_ROWS; rationale at the constants).
     pregate = explode_fps(sample_df) if sample_df is not None else None
     if use_prefix_join:
         pairs = overlap_threshold_pairs(

@@ -60,16 +60,9 @@ def _read_parallel(spark: SparkSession, path: str) -> DataFrame:
     df = spark.read.parquet(path)
     target = spark.sparkContext.defaultParallelism
     try:
-        import glob
-        import os
-
         import pyarrow.parquet as pq
 
-        files = (
-            [path]
-            if os.path.isfile(path)
-            else sorted(glob.glob(os.path.join(path, "*.parquet")))
-        )
+        files = _parquet_files(path)
         if not files or len(files) >= target:
             return df
         row_groups = rows = 0
@@ -94,27 +87,44 @@ def _read_parallel(spark: SparkSession, path: str) -> DataFrame:
     return df.repartition(width)
 
 
-def _parquet_rows(path: str) -> int | None:
+def _parquet_files(path: str) -> list[str]:
+    """Local parquet file enumeration shared by the footer-metadata
+    readers (``_read_parallel``'s width floor and ``_parquet_rows``):
+    the path is either one file or a flat directory of ``*.parquet``
+    parts — the only layouts the driver's datasets use. URI-style or
+    nested-partition paths enumerate to [] and callers fall back to
+    their scale-safe default."""
+    import glob
+
+    return (
+        [path]
+        if os.path.isfile(path)
+        else sorted(glob.glob(os.path.join(path, "*.parquet")))
+    )
+
+
+def _parquet_rows(path: str, stop_at: int | None = None) -> int | None:
     """Total row count from parquet footers — driver-side metadata (~1 ms
     for local files), NO Spark action. Feeds cost-based choices that must
     key on INPUT SIZE rather than the local core count (guide §2), e.g.
     the pair-mining generation-path switch (``PAIR_PREFIX_MIN_ROWS``).
+    ``stop_at`` short-circuits once the running sum reaches it (the
+    caller's decision is fixed past its threshold — a many-thousand-part
+    corpus must not pay one footer open per part per query build).
     Returns None when metadata is unreadable; callers fall back to their
     scale-safe default."""
     try:
-        import glob
-        import os as _os
-
         import pyarrow.parquet as pq
 
-        files = (
-            [path]
-            if _os.path.isfile(path)
-            else sorted(glob.glob(_os.path.join(path, "*.parquet")))
-        )
+        files = _parquet_files(path)
         if not files:
             return None
-        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        rows = 0
+        for f in files:
+            rows += pq.ParquetFile(f).metadata.num_rows
+            if stop_at is not None and rows >= stop_at:
+                return rows
+        return rows
     except Exception:
         return None
 
@@ -724,9 +734,17 @@ JACCARD_PREFIX_T = 0.4999
 # back to the PREFIX join — the scale-safe side. The 16,384 default sits
 # between the two measured scales, biased low so anything near the
 # crossover gets the form whose cost is bounded at 100x.
-PAIR_PREFIX_MIN_ROWS = int(
-    os.environ.get("SPARK_GRAFT_PAIR_PREFIX_MIN_ROWS", "16384")
-)
+def _env_int(name: str, default: int) -> int:
+    """Tuning-knob parse that cannot take the module down: a malformed
+    value falls back to the default (the knob steers a pure-cost choice —
+    results are identical either way)."""
+    try:
+        return int(os.environ.get(name, default))
+    except (TypeError, ValueError):
+        return default
+
+
+PAIR_PREFIX_MIN_ROWS = _env_int("SPARK_GRAFT_PAIR_PREFIX_MIN_ROWS", 16384)
 
 # fingerprint_overlap's crossover sits far HIGHER than jaccard's: its
 # min_overlap/containment thresholds prune candidates weakly (prefix
@@ -742,16 +760,13 @@ PAIR_PREFIX_MIN_ROWS = int(
 # clearly somewhere past ~250k docs. Below this threshold the
 # exhaustive aggregate is at-or-better in wall and robust to
 # distribution shift; above it, candidate bounding wins.
-FP_PREFIX_MIN_ROWS = int(
-    os.environ.get("SPARK_GRAFT_FP_PREFIX_MIN_ROWS", "262144")
-)
+FP_PREFIX_MIN_ROWS = _env_int("SPARK_GRAFT_FP_PREFIX_MIN_ROWS", 262144)
 
 
 def _use_prefix_join(sf_dir: str, min_rows: int | None = None) -> bool:
-    rows = _parquet_rows(f"{sf_dir}/documents.parquet")
-    return rows is None or rows >= (
-        PAIR_PREFIX_MIN_ROWS if min_rows is None else min_rows
-    )
+    threshold = PAIR_PREFIX_MIN_ROWS if min_rows is None else min_rows
+    rows = _parquet_rows(f"{sf_dir}/documents.parquet", stop_at=threshold)
+    return rows is None or rows >= threshold
 
 
 def q_jaccard_pairs(
